@@ -1,0 +1,265 @@
+"""Typed configuration system with the five baseline presets.
+
+Replaces the reference's ``tf.app.flags`` block (SURVEY.md C1) with
+frozen dataclasses.  The five named presets correspond 1:1 to
+``BASELINE.json`` configs 1-5:
+
+1. ``single_scale`` — single-scale CNN part detector, heatmap regression,
+   CPU-runnable.
+2. ``multires``     — multi-resolution two-branch detector (full + half
+   res) with heatmap fusion.
+3. ``mrf``          — MRF spatial model: pairwise-prior large convs in
+   log-space over joint heatmaps (on top of the multires detector).
+4. ``joint``        — joint end-to-end CNN+MRF training with
+   crop/scale/rotate augmentation.
+5. ``eval_tta``     — batched eval: PDJ/PCK curves with flip-averaged TTA.
+
+Plus auxiliary presets: ``tiny`` (CPU unit-test config), ``flagship``
+(the throughput-tuned config benched by bench.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+from jointpose import skeleton
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Fully-convolutional part detector (SURVEY C5/C6; arXiv:1406.2984 §3.1).
+
+    The trunk is ``len(trunk_features)`` stages of (conv k×k, ReLU,
+    optional 2×2 maxpool); the number of pools fixes the heatmap stride.
+    The head is the paper's "fully-connected-equivalent" wide convs:
+    head_kernel×head_kernel×head_features[0], then 1×1 convs.
+    """
+
+    trunk_features: tuple[int, ...] = (64, 128, 128)
+    trunk_kernel: int = 5
+    # Which trunk stages are followed by a 2x2 maxpool; len == #pools.
+    trunk_pool: tuple[bool, ...] = (True, True, False)
+    head_features: tuple[int, ...] = (512, 256)
+    head_kernel: int = 9
+    multires: bool = False
+    # Share trunk weights across resolutions (paper-faithful); the half-res
+    # branch reuses the full-res filter banks on the half-res pyramid level.
+    share_trunk: bool = True
+
+
+@dataclass(frozen=True)
+class MRFConfig:
+    """MRF spatial model (SURVEY C7; arXiv:1406.2984 §3.2).
+
+    One sum-product message pass computed in log space:
+        log p̄_A = Σ_v log( softplus(k_{A|v}) ⊛ p_v + softplus(b_{v,A}) )
+    Kernels cover displacements up to ±(window_h//2, window_w//2) in
+    heatmap pixels.  ``full extent`` = (2*Hm-1, 2*Wm-1); empirical priors
+    are near-zero at extreme displacements so a bounded window is both
+    faster and statistically identical (SURVEY §7 hard-parts #1).
+    """
+
+    window: tuple[int, int] = (61, 91)  # odd (dy, dx) extents, heatmap px
+    eps: float = 1e-6  # floor inside log() — bf16-safe (SURVEY §7 #2)
+    normalize_input: bool = True  # spatial-softmax detector maps before MRF
+    use_pallas: bool = True  # fused Pallas epilogue where supported
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """On-device crop/scale/rotate/flip augmentation (SURVEY C3)."""
+
+    enabled: bool = True
+    scale_range: tuple[float, float] = (0.7, 1.3)
+    rotate_deg: float = 20.0
+    translate_frac: float = 0.08  # max |shift| as fraction of image size
+    flip_prob: float = 0.5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization & staged schedule (SURVEY C8/C10)."""
+
+    batch_size: int = 32
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-5
+    optimizer: str = "adamw"  # adamw | momentum
+    momentum: float = 0.9
+    # Loss on detector heatmaps: 'mse' (paper §3.3 per-pixel regression)
+    # or 'ce' (per-joint spatial softmax cross-entropy).
+    detector_loss: str = "mse"
+    # Loss on MRF (normalized) output heatmaps.
+    mrf_loss: str = "ce"
+    # Staged regime [P1406 §3.3]: detector pretrain steps, then joint steps.
+    detector_steps: int = 1000
+    joint_steps: int = 1000
+    eval_every: int = 200
+    log_every: int = 50
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset source & geometry (SURVEY C2/C4).
+
+    FLIC frames are 720x480; the reference pipeline halves them.  All
+    shapes are (height, width).  Heatmaps are rendered at
+    ``image_hw / heatmap_stride`` with a Gaussian of ``sigma`` heatmap px.
+    """
+
+    source: str = "synthetic"  # synthetic | flic
+    flic_dir: str = "/data/FLIC"
+    image_hw: tuple[int, int] = (240, 360)
+    heatmap_stride: int = 4
+    sigma: float = 1.5
+    train_size: int = 3987  # canonical FLIC split sizes
+    test_size: int = 1016
+    seed: int = 1234
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for pjit sharding (SURVEY §2 parallelism table).
+
+    ``data`` shards the batch (DP, gradient psum over ICI); ``model``
+    shards the MRF's K^2 pairwise channels (the embarrassingly-parallel
+    tensor axis this model has).  axis sizes of -1 mean "all available".
+    """
+
+    data: int = -1
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "single_scale"
+    data: DataConfig = field(default_factory=DataConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    mrf: MRFConfig | None = None
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Compute dtype for conv/matmul activations ('bfloat16' on TPU;
+    # params & loss stay fp32 — SURVEY §7 build step 3).
+    compute_dtype: str = "bfloat16"
+    eval_flip_tta: bool = False
+
+    @property
+    def num_joints(self) -> int:
+        return skeleton.NUM_JOINTS
+
+    @property
+    def heatmap_hw(self) -> tuple[int, int]:
+        h, w = self.data.image_hw
+        s = self.data.heatmap_stride
+        assert h % s == 0 and w % s == 0, (h, w, s)
+        return (h // s, w // s)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _preset_single_scale() -> Config:
+    # BASELINE config 1: single-scale detector, heatmap regression,
+    # CPU-runnable (fp32 on CPU; the dtype is overridden there).
+    return Config(name="single_scale")
+
+
+def _preset_multires() -> Config:
+    # BASELINE config 2: two-branch detector with heatmap fusion.
+    return Config(
+        name="multires",
+        detector=DetectorConfig(multires=True),
+    )
+
+
+def _preset_mrf() -> Config:
+    # BASELINE config 3: MRF spatial model on top of the detector.
+    return Config(
+        name="mrf",
+        detector=DetectorConfig(multires=True),
+        mrf=MRFConfig(),
+    )
+
+
+def _preset_joint() -> Config:
+    # BASELINE config 4: joint end-to-end CNN+MRF training + augmentation.
+    return Config(
+        name="joint",
+        detector=DetectorConfig(multires=True),
+        mrf=MRFConfig(),
+        augment=AugmentConfig(enabled=True),
+    )
+
+
+def _preset_eval_tta() -> Config:
+    # BASELINE config 5: batched eval, PDJ/PCK curves, flip-averaged TTA.
+    return _preset_joint().replace(name="eval_tta", eval_flip_tta=True)
+
+
+def _preset_tiny() -> Config:
+    # CPU unit/integration-test config: tiny shapes, tiny widths.
+    return Config(
+        name="tiny",
+        data=DataConfig(
+            image_hw=(48, 64),
+            sigma=1.0,
+            train_size=16,
+            test_size=8,
+        ),
+        detector=DetectorConfig(
+            trunk_features=(8, 16),
+            trunk_pool=(True, True),
+            head_features=(32, 16),
+            head_kernel=5,
+            multires=True,
+        ),
+        mrf=MRFConfig(window=(11, 15), use_pallas=False),
+        train=TrainConfig(
+            batch_size=4,
+            detector_steps=30,
+            joint_steps=30,
+            eval_every=10,
+            log_every=10,
+        ),
+        compute_dtype="float32",
+    )
+
+
+def _preset_flagship() -> Config:
+    # Throughput-tuned flagship for bench.py: multires detector + MRF,
+    # bf16 compute, widths sized so >=10k img/s/chip is reachable on a
+    # v5e-class chip (BASELINE.json:5) while keeping the paper topology.
+    return Config(
+        name="flagship",
+        detector=DetectorConfig(
+            trunk_features=(32, 64, 128),
+            trunk_pool=(True, True, False),
+            head_features=(256, 128),
+            head_kernel=9,
+            multires=True,
+        ),
+        mrf=MRFConfig(window=(31, 47)),
+        eval_flip_tta=False,
+    )
+
+
+PRESETS = {
+    "single_scale": _preset_single_scale,
+    "multires": _preset_multires,
+    "mrf": _preset_mrf,
+    "joint": _preset_joint,
+    "eval_tta": _preset_eval_tta,
+    "tiny": _preset_tiny,
+    "flagship": _preset_flagship,
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown config preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()
