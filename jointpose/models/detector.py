@@ -1,0 +1,138 @@
+"""Fully-convolutional part detector (SURVEY C5/C6; arXiv:1406.2984 §3.1).
+
+Topology follows the paper's sliding-window-equivalent network:
+
+- a trunk of (conv kxk -> ReLU -> optional 2x2 maxpool) stages; the
+  number of pools fixes the heatmap stride (stride 4 for two pools);
+- the "fully-connected equivalent" head: one wide conv (paper: 9x9)
+  followed by 1x1 convs down to K per-joint heatmap logits;
+- optionally a second half-resolution Gaussian-pyramid branch whose
+  trunk shares the full-res filter banks (paper §3.1: the same banks
+  applied to each pyramid level); its features are upsampled 2x and
+  summed with the full-res features before the head (SURVEY C6).
+
+TPU mapping: all convs are NHWC/HWIO lowered by XLA onto the MXU;
+activations run in ``compute_dtype`` (bf16 on TPU) while parameters and
+the returned logits stay fp32 (SURVEY §7 build step 3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from jointpose.configs import DetectorConfig
+
+
+def _pool2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+
+
+def _avg_pyramid(x: jnp.ndarray) -> jnp.ndarray:
+    """Half-resolution Gaussian-pyramid level (2x2 average pooling)."""
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x spatial upsample — a reshape/broadcast, cheap on TPU."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class Trunk(nn.Module):
+    """Conv/pool feature trunk, reused across pyramid levels."""
+
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        for i, feats in enumerate(cfg.trunk_features):
+            x = nn.Conv(
+                feats,
+                (cfg.trunk_kernel, cfg.trunk_kernel),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            x = nn.relu(x)
+            if cfg.trunk_pool[i]:
+                x = _pool2x2(x)
+        return x
+
+
+class Detector(nn.Module):
+    """Multi-resolution fully-convolutional part detector.
+
+    Input:  (B, H, W, 3) images in [0, 1].
+    Output: (B, H/stride, W/stride, K) float32 heatmap logits, where
+            stride = 2 ** (#pooling stages).
+    """
+
+    config: DetectorConfig
+    num_joints: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        stride = Detector.stride(cfg)
+        need = stride * 2 if cfg.multires else stride
+        h, w = images.shape[1], images.shape[2]
+        if h % need or w % need:
+            raise ValueError(
+                f"input {h}x{w} must be divisible by {need} "
+                f"(heatmap stride {stride}{', multires' if cfg.multires else ''})"
+            )
+        x = (images.astype(self.dtype) - 0.5) * 2.0
+
+        if cfg.share_trunk:
+            trunk = Trunk(cfg, dtype=self.dtype, name="trunk")
+            full = trunk(x)
+            if cfg.multires:
+                half = trunk(_avg_pyramid(x))
+        else:
+            full = Trunk(cfg, dtype=self.dtype, name="trunk_full")(x)
+            if cfg.multires:
+                half = Trunk(cfg, dtype=self.dtype, name="trunk_half")(_avg_pyramid(x))
+
+        if cfg.multires:
+            # Half-res features live at 2x the stride; upsample and fuse
+            # by summation before the shared head (SURVEY C6).
+            full = full + _upsample2x(half)
+
+        y = nn.Conv(
+            cfg.head_features[0],
+            (cfg.head_kernel, cfg.head_kernel),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="head_wide",
+        )(full)
+        y = nn.relu(y)
+        for i, feats in enumerate(cfg.head_features[1:]):
+            y = nn.Conv(
+                feats,
+                (1, 1),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"head_1x1_{i}",
+            )(y)
+            y = nn.relu(y)
+        logits = nn.Conv(
+            self.num_joints,
+            (1, 1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="head_out",
+        )(y)
+        return logits.astype(jnp.float32)
+
+    @staticmethod
+    def stride(config: DetectorConfig) -> int:
+        return 2 ** sum(config.trunk_pool)

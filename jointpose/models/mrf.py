@@ -1,0 +1,96 @@
+"""MRF spatial model module (SURVEY C7; arXiv:1406.2984 §3.2).
+
+Wraps the log-space message-pass op with softplus-parameterized kernels
+and biases (positivity by construction — the paper's SoftPlus trick)
+and exposes prior-based initialization: the raw kernel parameters are
+set to softplus^-1(prior) so the first forward pass reproduces the
+empirical pairwise-displacement priors exactly (SURVEY C9 -> C7 edge).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from jointpose.configs import MRFConfig
+from jointpose.ops.mrf_xla import mrf_message_pass_xla
+
+
+def inverse_softplus(y: np.ndarray | jnp.ndarray, floor: float = 1e-8):
+    """x such that softplus(x) = y (y > 0); numpy-compatible, fp32-safe.
+
+    Two regimes: log(expm1(y)) is exact for small y (where the naive
+    y + log1p(-exp(-y)) cancels catastrophically in fp32), while for
+    large y expm1 overflows and x ≈ y to machine precision.
+    """
+    y = jnp.maximum(jnp.asarray(y, jnp.float32), floor)
+    small = jnp.log(jnp.expm1(jnp.minimum(y, 15.0)))
+    return jnp.where(y < 15.0, small, y)
+
+
+def uniform_kernel_init(window: tuple[int, int], num_joints: int) -> jnp.ndarray:
+    """Raw-parameter init giving a uniform positive kernel (pre-softplus)."""
+    wh, ww = window
+    val = inverse_softplus(jnp.asarray(1.0 / (wh * ww)))
+    return jnp.full((wh, ww, num_joints, num_joints), val, jnp.float32)
+
+
+def priors_to_raw_kernels(priors: jnp.ndarray, blend: float = 0.5) -> jnp.ndarray:
+    """Convert normalized prior maps (wh, ww, K, K) to raw kernel params.
+
+    The paper initializes the spatial-model kernels from the empirical
+    displacement priors blended with a small uniform floor so no
+    displacement starts at exactly zero probability (which would have
+    zero gradient through softplus^-1).
+    """
+    wh, ww = priors.shape[0], priors.shape[1]
+    uniform = 1.0 / (wh * ww)
+    mixed = blend * priors + (1.0 - blend) * uniform
+    return inverse_softplus(mixed)
+
+
+class SpatialModel(nn.Module):
+    """Learned MRF over joint heatmaps.
+
+    Input:  (B, Hm, Wm, K) normalized unary heatmaps p (distributions
+            per channel; the PoseModel spatial-softmaxes detector logits).
+    Output: (B, Hm, Wm, K) unnormalized log p̄ in fp32.
+    """
+
+    config: MRFConfig
+    num_joints: int
+    dtype: Any = jnp.float32
+    # Optional initializer returning raw (pre-softplus) kernels
+    # (wh, ww, K, K); defaults to the uniform kernel.
+    raw_kernel_init: Callable[..., jnp.ndarray] | None = None
+    message_pass: Callable[..., jnp.ndarray] | None = None
+
+    @nn.compact
+    def __call__(self, p: jnp.ndarray) -> jnp.ndarray:
+        k = self.num_joints
+        wh, ww = self.config.window
+
+        def default_kernel_init(key, shape, dtype=jnp.float32):
+            del key
+            assert tuple(shape) == (wh, ww, k, k), shape
+            return uniform_kernel_init((wh, ww), k).astype(dtype)
+
+        kernel_init = self.raw_kernel_init or default_kernel_init
+        raw_kernels = self.param("raw_kernels", kernel_init, (wh, ww, k, k))
+        raw_bias = self.param(
+            "raw_bias",
+            lambda key, shape, dtype=jnp.float32: jnp.full(
+                shape, inverse_softplus(jnp.asarray(1e-4)), dtype
+            ),
+            (k, k),
+        )
+        kernels = jax.nn.softplus(raw_kernels.astype(jnp.float32))
+        biases = jax.nn.softplus(raw_bias.astype(jnp.float32))
+        pass_fn = self.message_pass or mrf_message_pass_xla
+        return pass_fn(
+            p.astype(self.dtype), kernels.astype(self.dtype), biases, eps=self.config.eps
+        )

@@ -1,0 +1,50 @@
+"""Joint CNN+MRF composition (SURVEY §1 Models layer; C5+C6+C7).
+
+The PoseModel is the framework's flagship model: images in, per-joint
+heatmaps out — detector logits always, MRF-refined log-heatmaps when the
+config enables the spatial model.  This is the path the north-star
+metric times (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from jointpose.configs import Config
+from jointpose.models.detector import Detector
+from jointpose.models.mrf import SpatialModel
+from jointpose.ops.heatmaps import spatial_softmax
+
+
+class PoseModel(nn.Module):
+    config: Config
+    # Optional overrides threaded to the SpatialModel (prior init, Pallas
+    # message pass); None = module defaults.
+    mrf_raw_kernel_init: Callable[..., jnp.ndarray] | None = None
+    mrf_message_pass: Callable[..., jnp.ndarray] | None = None
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> dict[str, Any]:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        logits = Detector(
+            cfg.detector, cfg.num_joints, dtype=dtype, name="detector"
+        )(images)
+        out: dict[str, Any] = {"detector_logits": logits}
+        if cfg.mrf is not None:
+            if cfg.mrf.normalize_input:
+                unaries = spatial_softmax(logits)
+            else:
+                unaries = jnp.maximum(logits, 0.0)
+            out["mrf_log_heatmaps"] = SpatialModel(
+                cfg.mrf,
+                cfg.num_joints,
+                dtype=dtype,
+                raw_kernel_init=self.mrf_raw_kernel_init,
+                message_pass=self.mrf_message_pass,
+                name="spatial_model",
+            )(unaries)
+        return out

@@ -1,0 +1,104 @@
+"""MRF log-space message pass — XLA reference implementation (SURVEY C7).
+
+One sum-product-style message pass over the star graph, computed as
+convolution (arXiv:1406.2984 §3.2, eq. "SpatialModel"):
+
+    log p̄_A = Σ_{v ∈ joints} log( k_{A|v} ⊛ p_v + b_{v→A} )
+
+where k_{A|v} is the (positive) learned pairwise-displacement kernel of
+joint A given joint v, p_v the (normalized) unary heatmap of v, and
+b_{v→A} a small positive bias that keeps the product from being zeroed
+by a single missing part.  Positivity of kernels/biases is handled by
+the caller (the SpatialModel module softplus-parameterizes them).
+
+TPU mapping: all K^2 pairwise convolutions run as ONE grouped
+convolution (``feature_group_count=K``) so XLA tiles the whole pass
+onto the MXU in a single op; the log/Σ epilogue is elementwise fp32
+(bf16-safe — SURVEY §7 hard-parts #2).  Convention: the kernel tap at
+center offset (dy, dx) weights evidence for "A sits at (dy, dx)
+relative to v" — i.e. lax correlation semantics with the kernel indexed
+by -(displacement); ``jointpose.priors`` builds its histograms in this
+same convention (tested against each other).
+"""
+
+from __future__ import annotations
+
+import jax.lax as lax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def pairwise_conv(
+    p: jnp.ndarray, kernels: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    """All K^2 pairwise convolutions as one grouped conv.
+
+    Args:
+      p: (B, H, W, K) unary heatmaps.
+      kernels: (wh, ww, K, K) positive kernels; kernels[:, :, v, a] is
+        k_{a|v} (input joint v -> target joint a).
+      precision: lax.Precision for the conv; None = backend default
+        (bf16-class on TPU — right for the model), HIGHEST for tests.
+    Returns:
+      (B, H, W, K, K) responses, axis -2 = v (source), axis -1 = a.
+    """
+    wh, ww, k, k2 = kernels.shape
+    assert k == k2, kernels.shape
+    # Grouped conv: out channel v*K + a uses input channel v and kernel
+    # slice [..., 0, v*K + a]; reshaping (wh, ww, v, a) row-major gives
+    # exactly that layout.
+    kern = kernels.reshape(wh, ww, 1, k * k)
+    resp = lax.conv_general_dilated(
+        p,
+        kern.astype(p.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=k,
+        precision=precision,
+    )
+    b, h, w, _ = resp.shape
+    return resp.reshape(b, h, w, k, k)
+
+
+def mrf_message_pass_xla(
+    p: jnp.ndarray,
+    kernels: jnp.ndarray,
+    biases: jnp.ndarray,
+    eps: float = 1e-6,
+    precision=None,
+) -> jnp.ndarray:
+    """Log-space message pass; returns unnormalized log p̄ (B, H, W, K).
+
+    Args:
+      p: (B, H, W, K) unary heatmaps (nonnegative; normalized per channel
+        by the caller).
+      kernels: (wh, ww, K, K) positive pairwise kernels ([..., v, a]).
+      biases: (K, K) positive biases (biases[v, a] = b_{v→a}).
+      eps: log floor, keeps bf16/fp32 gradients finite where priors
+        vanish (SURVEY §7 hard-parts #2).
+    """
+    resp = pairwise_conv(p, kernels, precision=precision)  # (B, H, W, K, K)
+    resp = resp.astype(jnp.float32) + biases.astype(jnp.float32)
+    logs = jnp.log(jnp.maximum(resp, eps))
+    return jnp.sum(logs, axis=-2)  # sum over source joints v -> (B,H,W,K)
+
+
+def mrf_message_pass_direct(
+    p: jnp.ndarray,
+    kernels: jnp.ndarray,
+    biases: jnp.ndarray,
+    eps: float = 1e-6,
+    precision=None,
+) -> jnp.ndarray:
+    """Direct-space oracle: log Π_v (k⊛p_v + b), used only in tests.
+
+    Mathematically identical to :func:`mrf_message_pass_xla`; numerically
+    it underflows for large K which is exactly why the model computes in
+    log space (the test asserts agreement where the product stays
+    representable).
+    """
+    resp = pairwise_conv(p, kernels, precision=precision).astype(jnp.float32)
+    prod = jnp.prod(jnp.maximum(resp + biases.astype(jnp.float32), eps), axis=-2)
+    return jnp.log(prod)

@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Persistent compilation cache: repeated test runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jointpose-xla-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")
