@@ -226,6 +226,7 @@ def _preset_tiny() -> Config:
             eval_every=10,
             log_every=10,
         ),
+        mesh=MeshConfig(data=1, model=1),
         compute_dtype="float32",
     )
 

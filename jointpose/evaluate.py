@@ -1,0 +1,140 @@
+"""PDJ/PCK evaluation with flip-averaged TTA (SURVEY C11, §3.3).
+
+PDJ@t (percentage of detected joints): a joint is detected if the
+pixel-argmax of its heatmap lies within t × torso-diameter of the
+ground truth, torso diameter being the left-shoulder ↔ right-hip
+distance (FLIC protocol, arXiv:1406.2984 §4).  Headline numbers are
+PDJ@0.05 for wrists and elbows (BASELINE.json:2).
+
+Flip TTA mirrors the image, runs the model, mirrors the heatmaps back
+while swapping left/right joint channels, and averages in probability
+space — the L/R swap is the classic silent-accuracy bug, covered by
+tests (SURVEY §7 hard-parts #3).
+
+Everything here is batched XLA; the per-batch forward+decode is jitted
+once and reused.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jointpose import skeleton
+from jointpose.configs import Config
+from jointpose.data.pipeline import Dataset, batch_iterator
+from jointpose.data.targets import heatmap_to_coords
+from jointpose.ops.heatmaps import spatial_softmax
+
+_FLIP_PERM = jnp.asarray(skeleton.FLIP_PERM, dtype=jnp.int32)
+
+DEFAULT_THRESHOLDS: tuple[float, ...] = tuple(np.linspace(0.0, 0.2, 21).round(3).tolist())
+
+
+def flip_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Mirror (B, H, W, C) images horizontally."""
+    return images[:, :, ::-1, :]
+
+
+def unflip_heatmaps(heatmaps: jnp.ndarray) -> jnp.ndarray:
+    """Mirror heatmaps back and swap L/R joint channels.
+
+    Args:
+      heatmaps: (B, H, W, K) heatmaps computed on flipped images.
+    """
+    return heatmaps[:, :, ::-1, :][..., _FLIP_PERM]
+
+
+def torso_diameter(joints_xy: jnp.ndarray) -> jnp.ndarray:
+    """Per-example torso diameter (..., K, 2) -> (...,)."""
+    a = joints_xy[..., skeleton.JOINT_INDEX[skeleton.TORSO_PAIR[0]], :]
+    b = joints_xy[..., skeleton.JOINT_INDEX[skeleton.TORSO_PAIR[1]], :]
+    return jnp.linalg.norm(a - b, axis=-1)
+
+
+def pdj_counts(
+    pred_xy: jnp.ndarray,
+    gt_xy: jnp.ndarray,
+    visible: jnp.ndarray,
+    thresholds: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Detection counts for a batch.
+
+    Args:
+      pred_xy / gt_xy: (B, K, 2) image-pixel coords.
+      visible: (B, K).
+      thresholds: (T,) PDJ thresholds (fractions of torso diameter).
+    Returns:
+      (detected (T, K) counts, visible (K,) counts).
+    """
+    dist = jnp.linalg.norm(pred_xy - gt_xy, axis=-1)  # (B, K)
+    torso = torso_diameter(gt_xy)[:, None]  # (B, 1)
+    vis = visible.astype(jnp.float32)
+    ok = dist[None] <= thresholds[:, None, None] * torso[None]  # (T, B, K)
+    detected = jnp.sum(ok.astype(jnp.float32) * vis[None], axis=1)  # (T, K)
+    return detected, jnp.sum(vis, axis=0)
+
+
+def make_eval_step(
+    config: Config, apply_fn: Callable, thresholds=DEFAULT_THRESHOLDS
+) -> Callable:
+    """Build the jitted per-batch eval: forward (+TTA) -> decode -> counts."""
+    stride = config.data.heatmap_stride
+    thr = jnp.asarray(thresholds, jnp.float32)
+
+    def heatmap_probs(params, images):
+        out = apply_fn(params, images)
+        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
+        return spatial_softmax(scores)
+
+    @jax.jit
+    def eval_step(params, batch):
+        probs = heatmap_probs(params, batch["image"])
+        if config.eval_flip_tta:
+            flipped = heatmap_probs(params, flip_images(batch["image"]))
+            probs = 0.5 * (probs + unflip_heatmaps(flipped))
+        pred = heatmap_to_coords(probs, stride)
+        detected, vis = pdj_counts(pred, batch["joints"], batch["visible"], thr)
+        return detected, vis
+
+    return eval_step
+
+
+def evaluate(
+    params,
+    dataset: Dataset,
+    config: Config,
+    apply_fn: Callable,
+    thresholds=DEFAULT_THRESHOLDS,
+    max_batches: int | None = None,
+) -> dict:
+    """Full-split evaluation; returns PDJ curves and headline numbers."""
+    eval_step = make_eval_step(config, apply_fn, thresholds)
+    batch = config.train.batch_size
+    detected = np.zeros((len(thresholds), skeleton.NUM_JOINTS))
+    visible = np.zeros((skeleton.NUM_JOINTS,))
+    for i, idx in enumerate(batch_iterator(dataset, batch)):
+        if max_batches is not None and i >= max_batches:
+            break
+        d, v = eval_step(params, dataset.get_batch(idx))
+        detected += np.asarray(d)
+        visible += np.asarray(v)
+    curves = detected / np.maximum(visible[None], 1.0)  # (T, K)
+    thresholds_np = np.asarray(thresholds)
+    t05 = int(np.argmin(np.abs(thresholds_np - 0.05)))
+    per_joint_05 = {
+        name: float(curves[t05, j]) for j, name in enumerate(skeleton.JOINTS)
+    }
+    headline = float(
+        np.mean([per_joint_05[n] for n in skeleton.HEADLINE_JOINTS])
+    )
+    return {
+        "thresholds": thresholds_np.tolist(),
+        "pdj_curves": curves.tolist(),  # (T, K)
+        "pdj_at_05": per_joint_05,
+        "pdj_at_05_wrist_elbow": headline,
+        "num_examples": float(visible.max()),
+    }

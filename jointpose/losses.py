@@ -1,0 +1,64 @@
+"""Heatmap losses (SURVEY C8; arXiv:1406.2984 §3.3).
+
+The paper trains per-pixel regression (MSE) between predicted and
+target heatmaps; a per-joint spatial softmax cross-entropy is the other
+idiom TF-era reimplementations used (SURVEY C8 [R:low]) — both are
+provided and selected by ``TrainConfig.detector_loss`` / ``mrf_loss``.
+All losses mask invisible joints and reduce in fp32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from jointpose.ops.heatmaps import spatial_log_softmax
+
+
+def heatmap_mse(
+    pred: jnp.ndarray, target: jnp.ndarray, visible: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked per-pixel MSE.
+
+    Args:
+      pred/target: (B, H, W, K) heatmaps.
+      visible: (B, K) joint mask.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    vis = visible.astype(jnp.float32)[:, None, None, :]
+    se = (pred - target) ** 2 * vis
+    denom = jnp.maximum(jnp.sum(vis), 1.0) * pred.shape[1] * pred.shape[2]
+    return jnp.sum(se) / denom
+
+
+def heatmap_ce(
+    logits: jnp.ndarray, target_dist: jnp.ndarray, visible: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-joint spatial cross-entropy against a normalized target.
+
+    Args:
+      logits: (B, H, W, K) unnormalized scores (detector logits or MRF
+        log p̄ — the spatial log-softmax normalizes either).
+      target_dist: (B, H, W, K) target distributions (sum to 1 per
+        visible joint).
+      visible: (B, K) joint mask.
+    """
+    logp = spatial_log_softmax(logits)
+    vis = visible.astype(jnp.float32)
+    ce = -jnp.sum(target_dist.astype(jnp.float32) * logp, axis=(1, 2))  # (B, K)
+    return jnp.sum(ce * vis) / jnp.maximum(jnp.sum(vis), 1.0)
+
+
+def heatmap_loss(
+    kind: str, pred: jnp.ndarray, targets: dict, visible: jnp.ndarray
+) -> jnp.ndarray:
+    """Dispatch on loss kind using pre-rendered targets.
+
+    ``targets`` carries both renderings: 'peak1' (max-1 Gaussian, for
+    MSE) and 'dist' (normalized, for CE).
+    """
+    if kind == "mse":
+        return heatmap_mse(pred, targets["peak1"], visible)
+    if kind == "ce":
+        return heatmap_ce(pred, targets["dist"], visible)
+    raise ValueError(f"unknown loss kind {kind!r}")

@@ -1,0 +1,113 @@
+"""Device mesh and sharding rules (SURVEY §2 parallelism plan).
+
+Design (scaling-book recipe): pick a mesh, annotate input/param
+shardings, let XLA insert the collectives.
+
+- ``data`` axis: batch dimension of every batch array; the train step's
+  gradient mean becomes an XLA allreduce over ICI.
+- ``model`` axis: the MRF pairwise-kernel tensor (wh, ww, K_v, K_a)
+  shards its *target-joint* axis, which partitions the grouped conv's
+  output channels; every other param is replicated.  For a ~1M-param
+  CNN this axis exists to prove out the sharding machinery (SURVEY §2:
+  TP "optional"), and composes with DP on a 2-D mesh.
+
+No NCCL/MPI analog exists or is needed: collectives are compiled by
+XLA (ICI intra-slice; DCN across hosts via ``init_distributed``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jointpose.configs import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    """Build the ('data', 'model') mesh over available devices."""
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = cfg.model if cfg.model > 0 else 1
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model <= n and data * model >= 1, (
+        f"mesh {data}x{model} needs more than the {n} available devices"
+    )
+    devices = devices[: data * model]
+    import numpy as np
+
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _path_keys(path: tuple) -> list:
+    return [getattr(p, "key", getattr(p, "name", None)) for p in path]
+
+
+def param_shardings(params, mesh: Mesh):
+    """Sharding tree for a param pytree — the framework's tensor axis.
+
+    Over the 'model' axis:
+    - the detector head's wide conv shards its OUTPUT channels
+      (kernel (kh, kw, in, out) -> P(..., 'model'); bias -> P('model')),
+      and the following 1x1 convs shard their INPUT channels — classic
+      channel-wise conv TP; XLA inserts the reduce at the 1x1 contraction;
+    - the MRF pairwise kernels (wh, ww, K_v, K_a) shard the target-joint
+      axis (partitioning the grouped conv's K^2 output channels) when K
+      divides the axis size (K=9 usually doesn't — then they replicate).
+
+    Everything else (trunk convs, small biases) is replicated; the batch
+    axis of activations carries the 'data' sharding.
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def rule(path, x):
+        keys = _path_keys(path)
+        if model_size > 1:
+            if "raw_kernels" in keys and x.ndim == 4 and x.shape[-1] % model_size == 0:
+                return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+            if "head_wide" in keys:
+                if keys[-1] == "kernel" and x.shape[-1] % model_size == 0:
+                    return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+                if keys[-1] == "bias" and x.shape[-1] % model_size == 0:
+                    return NamedSharding(mesh, P(MODEL_AXIS))
+            if "head_1x1_0" in keys and keys[-1] == "kernel" and x.shape[-2] % model_size == 0:
+                return NamedSharding(mesh, P(None, None, MODEL_AXIS, None))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def init_distributed() -> None:
+    """Multi-host init over DCN (coordinator discovery via env vars).
+
+    No-op on a single host; call before any jax API in multi-host runs
+    (SURVEY §5 'Distributed communication backend').
+    """
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()

@@ -1,0 +1,306 @@
+"""Staged training: detector pretrain -> MRF prior init -> joint fine-tune.
+
+Rebuilds the reference's training loop (SURVEY C10, §3.1) TPU-first:
+
+- the whole hot path — augmentation draw, affine warp, Gaussian target
+  rendering, forward, loss, backward, optimizer update — is ONE jitted
+  program per stage; the host only hands over int32 example indices
+  (synthetic source) or pre-staged arrays (FLIC), so there is no
+  per-step Python/per-pixel work (the reference's hot-loop bottleneck,
+  SURVEY §7 hard-parts #5);
+- data parallelism is sharding, not code: batches are placed with a
+  ('data',)-sharded NamedSharding over the mesh and XLA inserts the
+  gradient allreduce over ICI (SURVEY §2);
+- the staged regime follows the paper (arXiv:1406.2984 §3.3): pretrain
+  the detector with its own heatmap loss, initialize the spatial-model
+  kernels from the empirical pairwise priors, then train end-to-end.
+
+CLI:  python -m jointpose.train --config tiny --workdir /tmp/jp
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training import train_state
+
+from jointpose import skeleton
+from jointpose.configs import Config, get_config
+from jointpose.data.augment import augment_batch, random_augment_params
+from jointpose.data.pipeline import batch_iterator, make_dataset
+from jointpose.data.targets import render_gaussian_heatmaps
+from jointpose.evaluate import evaluate
+from jointpose.losses import heatmap_loss
+from jointpose.models.mrf import priors_to_raw_kernels
+from jointpose.models.pose import PoseModel
+from jointpose.parallel.mesh import make_mesh, shard_batch, shard_params
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + the base RNG key (folded with step on device)."""
+
+    base_rng: jax.Array = struct.field(pytree_node=True, default=None)
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    t = config.train
+    if t.optimizer == "adamw":
+        return optax.adamw(t.learning_rate, weight_decay=t.weight_decay)
+    if t.optimizer == "momentum":
+        return optax.chain(
+            optax.add_decayed_weights(t.weight_decay),
+            optax.sgd(t.learning_rate, momentum=t.momentum),
+        )
+    raise ValueError(f"unknown optimizer {t.optimizer!r}")
+
+
+def create_state(config: Config, model: PoseModel, rng: jax.Array) -> TrainState:
+    images = jnp.zeros((1, *config.data.image_hw, 3), jnp.float32)
+    k_init, k_train = jax.random.split(rng)
+    variables = model.init(k_init, images)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(config),
+        base_rng=k_train,
+    )
+
+
+def _render_targets(config: Config, joints_xy, visible):
+    joints_hm = joints_xy / config.data.heatmap_stride
+    kw = dict(
+        heatmap_hw=config.heatmap_hw, sigma=config.data.sigma
+    )
+    return {
+        "peak1": render_gaussian_heatmaps(joints_hm, visible, normalize=False, **kw),
+        "dist": render_gaussian_heatmaps(joints_hm, visible, normalize=True, **kw),
+    }
+
+
+def make_train_step(config: Config, stage: str) -> Callable:
+    """Build the jitted train step for a stage ('detector' | 'joint').
+
+    The returned step takes (state, batch) and returns (state, metrics);
+    batch = {'image', 'joints', 'visible'} device arrays.
+    """
+    assert stage in ("detector", "joint"), stage
+    use_mrf = stage == "joint" and config.mrf is not None
+    augment = config.augment.enabled
+
+    def loss_fn(params, apply_fn, images, targets, visible):
+        out = apply_fn({"params": params}, images)
+        det = heatmap_loss(
+            config.train.detector_loss, out["detector_logits"], targets, visible
+        )
+        metrics = {"detector_loss": det}
+        if use_mrf:
+            mrf = heatmap_loss(
+                config.train.mrf_loss, out["mrf_log_heatmaps"], targets, visible
+            )
+            metrics["mrf_loss"] = mrf
+            total = mrf + det
+        else:
+            total = det
+        metrics["loss"] = total
+        return total, metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict):
+        images = batch["image"]
+        joints, visible = batch["joints"], batch["visible"]
+        if augment:
+            rng = jax.random.fold_in(state.base_rng, state.step)
+            params_aug = random_augment_params(
+                rng, images.shape[0], config.augment, config.data.image_hw
+            )
+            images, joints, visible = augment_batch(images, joints, visible, params_aug)
+        targets = _render_targets(config, joints, visible)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(
+            state.params, state.apply_fn, images, targets, visible
+        )
+        state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    return train_step
+
+
+def init_mrf_from_priors(state: TrainState, priors: np.ndarray) -> TrainState:
+    """Stage transition: overwrite spatial-model kernels with prior init."""
+    raw = priors_to_raw_kernels(jnp.asarray(priors))
+    params = jax.tree_util.tree_map(lambda x: x, state.params)  # shallow copy
+    sm = dict(params["spatial_model"])
+    assert sm["raw_kernels"].shape == raw.shape, (sm["raw_kernels"].shape, raw.shape)
+    sm["raw_kernels"] = raw.astype(sm["raw_kernels"].dtype)
+    params = dict(params)
+    params["spatial_model"] = sm
+    return state.replace(params=params)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    metrics: dict
+    workdir: str
+
+
+def fit(
+    config: Config,
+    workdir: str,
+    eval_max_batches: int | None = None,
+    resume: bool = False,
+    save_figures: bool = False,
+) -> FitResult:
+    """Run the full staged training; returns final state + eval metrics."""
+    from jointpose.checkpoint import Checkpointer
+    from jointpose.metrics import MetricLogger
+    from jointpose.priors import estimate_priors
+
+    mesh = make_mesh(config.mesh)
+    data_axis = mesh.shape["data"]
+    if config.train.batch_size % data_axis:
+        raise ValueError(
+            f"batch_size {config.train.batch_size} must be divisible by the "
+            f"mesh data axis ({data_axis}); set MeshConfig(data=...) explicitly"
+        )
+    logger = MetricLogger(workdir)
+    ckpt = Checkpointer(
+        f"{workdir}/{config.train.checkpoint_dir}", keep=config.train.keep_checkpoints
+    )
+    train_ds, test_ds = make_dataset(config.data)
+    model = PoseModel(config)
+    state = create_state(config, model, jax.random.PRNGKey(config.train.seed))
+    with mesh:
+        state = state.replace(params=shard_params(state.params, mesh))
+
+    start_step = 0
+    mrf_initialized = False
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+        mrf_initialized = start_step >= config.train.detector_steps
+        print(f"resumed from step {start_step}")
+
+    det_steps = config.train.detector_steps
+    joint_steps = config.train.joint_steps if config.mrf is not None else 0
+    total_steps = det_steps + joint_steps
+
+    step_fns = {
+        "detector": make_train_step(config, "detector"),
+        "joint": make_train_step(config, "joint"),
+    }
+
+    rng_np = np.random.default_rng(config.train.seed)
+    batches = iter([])
+    step = start_step
+    t_last, n_last = time.time(), step
+    final_eval: dict = {}
+
+    def run_eval(step: int) -> dict:
+        ev = evaluate(
+            {"params": state.params},
+            test_ds,
+            config,
+            model.apply,
+            max_batches=eval_max_batches,
+        )
+        logger.log(
+            step,
+            pdj_at_05_wrist_elbow=ev["pdj_at_05_wrist_elbow"],
+            **{f"pdj05/{k}": v for k, v in ev["pdj_at_05"].items()},
+        )
+        return ev
+
+    while step < total_steps:
+        stage = "detector" if step < det_steps else "joint"
+        if stage == "joint" and config.mrf is not None and not mrf_initialized:
+            print("estimating pairwise priors for MRF init ...")
+            priors = estimate_priors(train_ds, config, max_examples=2048)
+            state = init_mrf_from_priors(state, priors)
+            mrf_initialized = True
+        try:
+            idx = next(batches)
+        except StopIteration:
+            batches = batch_iterator(train_ds, config.train.batch_size, rng_np)
+            idx = next(batches)
+        batch = shard_batch(train_ds.get_batch(idx), mesh)
+        state, metrics = step_fns[stage](state, batch)
+        step = int(state.step)
+
+        if step % config.train.log_every == 0 or step == total_steps:
+            now = time.time()
+            ips = (step - n_last) * config.train.batch_size / max(now - t_last, 1e-9)
+            t_last, n_last = now, step
+            logger.log(step, stage=stage, images_per_sec=ips,
+                       **{k: float(v) for k, v in metrics.items()})
+        if step % config.train.eval_every == 0 or step == total_steps:
+            final_eval = run_eval(step)
+            ckpt.save(step, state, metrics=final_eval)
+
+    if final_eval and save_figures:
+        from jointpose.visualize import save_heatmap_overlays, save_pdj_curves
+
+        save_pdj_curves(final_eval, f"{workdir}/figures/pdj_curves.png")
+        batch = test_ds.get_batch(jnp.arange(4, dtype=jnp.int32))
+        out = model.apply({"params": state.params}, batch["image"])
+        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
+        from jointpose.ops.heatmaps import spatial_softmax
+
+        save_heatmap_overlays(
+            np.asarray(batch["image"]),
+            np.asarray(spatial_softmax(scores)),
+            f"{workdir}/figures/heatmaps.png",
+            np.asarray(batch["joints"]),
+        )
+
+    logger.close()
+    ckpt.close()
+    return FitResult(state=state, metrics=final_eval, workdir=workdir)
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="jointpose staged training")
+    parser.add_argument("--config", default="joint", help="preset name")
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--detector-steps", type=int, default=None)
+    parser.add_argument("--joint-steps", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--source", choices=["synthetic", "flic"], default=None)
+    parser.add_argument("--eval-max-batches", type=int, default=None)
+    parser.add_argument("--figures", action="store_true",
+                        help="save PDJ curves + heatmap overlays at the end")
+    args = parser.parse_args(argv)
+
+    config = get_config(args.config)
+    tr: dict[str, Any] = {}
+    if args.detector_steps is not None:
+        tr["detector_steps"] = args.detector_steps
+    if args.joint_steps is not None:
+        tr["joint_steps"] = args.joint_steps
+    if args.batch_size is not None:
+        tr["batch_size"] = args.batch_size
+    if tr:
+        config = config.replace(train=dataclasses.replace(config.train, **tr))
+    if args.source is not None:
+        config = config.replace(
+            data=dataclasses.replace(config.data, source=args.source)
+        )
+
+    result = fit(config, args.workdir, eval_max_batches=args.eval_max_batches,
+                 resume=args.resume, save_figures=args.figures)
+    print("final:", {k: v for k, v in result.metrics.items() if k != "pdj_curves"})
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,11 @@ is exercised without TPU hardware.  Must run before jax is imported.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA_FLAGS is read when the CPU backend is created (lazily), so setting
+# it here is early enough.  JAX_PLATFORMS however is captured when jax is
+# *imported*, and this environment's sitecustomize imports jax at
+# interpreter startup — so the platform must be forced through the config
+# API below, not the env var.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,9 +19,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
-# Persistent compilation cache: repeated test runs skip XLA recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jointpose-xla-cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_platforms", "cpu")
+
+# NOTE: no persistent compilation cache here — in this environment CPU
+# compiles may be served by a remote compile service whose host CPU
+# features differ (cached AOT artifacts then warn about SIGILL risk).
 
 
 @pytest.fixture(scope="session")

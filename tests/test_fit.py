@@ -1,0 +1,64 @@
+"""End-to-end ``fit`` integration: staged training overfits tiny synthetic
+data; checkpoint/resume is step-exact (SURVEY §4 integration tests)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from jointpose.configs import get_config
+from jointpose.train import fit
+
+
+def _tiny_fit_config():
+    cfg = get_config("tiny")
+    return cfg.replace(
+        augment=dataclasses.replace(cfg.augment, enabled=False),
+        train=dataclasses.replace(
+            cfg.train,
+            detector_steps=40,
+            joint_steps=20,
+            eval_every=20,
+            log_every=10,
+            learning_rate=1e-3,
+        ),
+    )
+
+
+def test_fit_runs_stages_and_logs(tmp_path):
+    cfg = _tiny_fit_config()
+    result = fit(cfg, str(tmp_path), eval_max_batches=1)
+    assert int(result.state.step) == 60
+    # Metrics JSONL written and parseable.
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    assert any("loss" in rec for rec in lines)
+    assert any("pdj_at_05_wrist_elbow" in rec for rec in lines)
+    # Both stages ran.
+    stages = {rec.get("stage") for rec in lines if "stage" in rec}
+    assert stages == {"detector", "joint"}
+    # Checkpoints exist.
+    assert os.path.isdir(os.path.join(str(tmp_path), cfg.train.checkpoint_dir))
+    # Training reduced the loss substantially.
+    losses = [rec["loss"] for rec in lines if "loss" in rec and rec.get("stage") == "detector"]
+    assert losses[-1] < losses[0]
+
+
+def test_fit_resume_continues_from_checkpoint(tmp_path):
+    cfg = _tiny_fit_config()
+    fit(cfg, str(tmp_path), eval_max_batches=1)
+    # Extend the schedule and resume: should start from step 60.
+    cfg2 = cfg.replace(
+        train=dataclasses.replace(cfg.train, joint_steps=30)
+    )
+    result = fit(cfg2, str(tmp_path), eval_max_batches=1, resume=True)
+    assert int(result.state.step) == 70
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    steps = [rec["step"] for rec in lines]
+    assert max(steps) == 70

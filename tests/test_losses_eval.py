@@ -1,0 +1,100 @@
+"""Tests for losses (SURVEY C8) and PDJ evaluation / flip TTA (C11)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jointpose import skeleton
+from jointpose.data.targets import render_gaussian_heatmaps
+from jointpose.evaluate import (
+    flip_images,
+    pdj_counts,
+    torso_diameter,
+    unflip_heatmaps,
+)
+from jointpose.losses import heatmap_ce, heatmap_mse
+
+K = skeleton.NUM_JOINTS
+
+
+def test_mse_zero_at_perfect_prediction():
+    joints = jnp.asarray(np.random.RandomState(0).uniform(2, 10, (2, K, 2)), jnp.float32)
+    vis = jnp.ones((2, K))
+    hm = render_gaussian_heatmaps(joints, vis, (16, 16), 1.5)
+    assert float(heatmap_mse(hm, hm, vis)) == 0.0
+    assert float(heatmap_mse(hm * 0, hm, vis)) > 0.0
+
+
+def test_mse_ignores_invisible_joints():
+    joints = jnp.asarray(np.random.RandomState(0).uniform(2, 10, (1, K, 2)), jnp.float32)
+    vis = np.ones((1, K), np.float32)
+    hm = render_gaussian_heatmaps(joints, jnp.asarray(vis), (16, 16), 1.5)
+    # Corrupt channel 0, mark it invisible: loss must be zero.
+    bad = np.asarray(hm).copy()
+    bad[..., 0] += 10.0
+    vis[0, 0] = 0.0
+    loss = heatmap_mse(jnp.asarray(bad), hm, jnp.asarray(vis))
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+
+def test_ce_minimized_at_target():
+    joints = jnp.asarray([[[8.0, 8.0]] * K], jnp.float32)
+    vis = jnp.ones((1, K))
+    target = render_gaussian_heatmaps(joints, vis, (16, 16), 1.5, normalize=True)
+    # Logits proportional to log-target achieve (near) minimal CE vs a
+    # shifted target.
+    good_logits = jnp.log(target + 1e-9)
+    shifted = render_gaussian_heatmaps(joints + 4.0, vis, (16, 16), 1.5, normalize=True)
+    bad_logits = jnp.log(shifted + 1e-9)
+    assert float(heatmap_ce(good_logits, target, vis)) < float(
+        heatmap_ce(bad_logits, target, vis)
+    )
+
+
+def test_torso_diameter():
+    joints = np.zeros((1, K, 2), np.float32)
+    joints[0, skeleton.JOINT_INDEX["lsho"]] = [0.0, 0.0]
+    joints[0, skeleton.JOINT_INDEX["rhip"]] = [3.0, 4.0]
+    np.testing.assert_allclose(float(torso_diameter(jnp.asarray(joints))[0]), 5.0)
+
+
+def test_pdj_counts_thresholding():
+    gt = np.zeros((1, K, 2), np.float32)
+    gt[0, skeleton.JOINT_INDEX["lsho"]] = [0.0, 0.0]
+    gt[0, skeleton.JOINT_INDEX["rhip"]] = [0.0, 100.0]  # torso = 100 px
+    pred = gt.copy()
+    pred[:, :, 0] += 6.0  # all joints off by 6 px = 0.06 torso
+    vis = jnp.ones((1, K))
+    thr = jnp.asarray([0.05, 0.1], jnp.float32)
+    detected, visible = pdj_counts(jnp.asarray(pred), jnp.asarray(gt), vis, thr)
+    d = np.asarray(detected)
+    np.testing.assert_allclose(d[0], 0.0)  # 6px > 5px
+    np.testing.assert_allclose(d[1], 1.0)  # 6px <= 10px
+    np.testing.assert_allclose(np.asarray(visible), 1.0)
+
+
+def test_flip_tta_roundtrip_recovers_heatmaps():
+    # unflip(model(flip(x))) == model(x) for a perfectly equivariant
+    # model; here simulate with ground-truth heatmaps: flipping the
+    # image moves joint j to the mirrored position with label perm.
+    hm_hw = (16, 24)
+    joints = jnp.asarray(
+        np.random.RandomState(0).uniform(3, 12, (2, K, 2)), jnp.float32
+    )
+    vis = jnp.ones((2, K))
+    hm = render_gaussian_heatmaps(joints, vis, hm_hw, 1.0)
+    # Heatmaps of the flipped scene: mirrored x, permuted labels.
+    w = hm_hw[1]
+    j_flipped = jnp.stack(
+        [w - 1 - joints[..., 0], joints[..., 1]], axis=-1
+    )[:, jnp.asarray(skeleton.FLIP_PERM)]
+    hm_flipped_scene = render_gaussian_heatmaps(j_flipped, vis, hm_hw, 1.0)
+    recovered = unflip_heatmaps(hm_flipped_scene)
+    np.testing.assert_allclose(np.asarray(recovered), np.asarray(hm), atol=1e-5)
+
+
+def test_flip_images_mirrors_width():
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 2, 6, 1))
+    flipped = flip_images(img)
+    np.testing.assert_array_equal(
+        np.asarray(flipped)[0, 0, :, 0], np.asarray(img)[0, 0, ::-1, 0]
+    )

@@ -1,0 +1,113 @@
+"""Integration tests: end-to-end training on the tiny config (SURVEY §4).
+
+The survey's mandated integration checks: config-1-style overfit on a
+tiny synthetic set (loss decreases, PDJ on train approaches 1) and the
+staged detector->joint transition with prior re-init.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jointpose.configs import get_config
+from jointpose.data.pipeline import make_dataset
+from jointpose.models.pose import PoseModel
+from jointpose.train import (
+    create_state,
+    init_mrf_from_priors,
+    make_train_step,
+)
+
+
+# Function-scoped: the jitted train step donates its input state, so a
+# state used by one test is deleted and cannot be shared.
+@pytest.fixture()
+def tiny_detector_setup():
+    cfg = get_config("tiny").replace(mrf=None)
+    # Disable augmentation for a clean overfit signal.
+    cfg = cfg.replace(augment=dataclasses.replace(cfg.augment, enabled=False))
+    model = PoseModel(cfg)
+    state = create_state(cfg, model, jax.random.PRNGKey(0))
+    train_ds, _ = make_dataset(cfg.data)
+    batch = train_ds.get_batch(jnp.arange(cfg.train.batch_size, dtype=jnp.int32))
+    return cfg, model, state, batch
+
+
+def test_detector_overfits_fixed_batch(tiny_detector_setup):
+    cfg, model, state, batch = tiny_detector_setup
+    step = make_train_step(cfg, "detector")
+    losses = []
+    for _ in range(60):
+        state, metrics = step(state, dict(batch))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_metrics_and_state(tiny_detector_setup):
+    cfg, model, state, batch = tiny_detector_setup
+    step = make_train_step(cfg, "detector")
+    state2, metrics = step(state, dict(batch))
+    assert int(state2.step) == int(state.step) + 1
+    assert {"loss", "detector_loss", "grad_norm"} <= set(metrics)
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_joint_stage_trains_mrf(tiny_config):
+    cfg = tiny_config.replace(
+        augment=dataclasses.replace(tiny_config.augment, enabled=False)
+    )
+    model = PoseModel(cfg)
+    state = create_state(cfg, model, jax.random.PRNGKey(0))
+    train_ds, _ = make_dataset(cfg.data)
+    batch = train_ds.get_batch(jnp.arange(cfg.train.batch_size, dtype=jnp.int32))
+    step = make_train_step(cfg, "joint")
+    before = np.asarray(state.params["spatial_model"]["raw_kernels"]).copy()
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, dict(batch))
+        losses.append(float(metrics["loss"]))
+    after = np.asarray(state.params["spatial_model"]["raw_kernels"])
+    assert not np.allclose(before, after), "MRF kernels did not train"
+    assert "mrf_loss" in metrics
+    assert losses[-1] < losses[0], losses
+
+
+def test_augmented_step_changes_per_step(tiny_config):
+    # With augmentation on, the same input batch gives different losses
+    # at different step counts (rng folds in the step).
+    cfg = tiny_config.replace(mrf=None)
+    model = PoseModel(cfg)
+    state = create_state(cfg, model, jax.random.PRNGKey(0))
+    train_ds, _ = make_dataset(cfg.data)
+    batch = train_ds.get_batch(jnp.arange(cfg.train.batch_size, dtype=jnp.int32))
+    step = make_train_step(cfg, "detector")
+    # Two independent states (the step donates its input): identical
+    # params/rng, one with a bumped step counter.
+    state_bumped = create_state(cfg, model, jax.random.PRNGKey(0))
+    state_bumped = state_bumped.replace(step=state_bumped.step + 100)
+    _, m1 = step(state, dict(batch))
+    _, m2 = step(state_bumped, dict(batch))
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_init_mrf_from_priors_swaps_kernels(tiny_config):
+    model = PoseModel(tiny_config)
+    state = create_state(tiny_config, model, jax.random.PRNGKey(0))
+    wh, ww = tiny_config.mrf.window
+    k = tiny_config.num_joints
+    priors = np.random.RandomState(0).rand(wh, ww, k, k).astype(np.float32)
+    priors /= priors.sum(axis=(0, 1), keepdims=True)
+    state2 = init_mrf_from_priors(state, priors)
+    changed = not np.allclose(
+        np.asarray(state.params["spatial_model"]["raw_kernels"]),
+        np.asarray(state2.params["spatial_model"]["raw_kernels"]),
+    )
+    assert changed
+    # Detector params untouched.
+    da = jax.tree.leaves(state.params["detector"])
+    db = jax.tree.leaves(state2.params["detector"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(da, db))
