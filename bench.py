@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from jointpose.configs import get_config
 from jointpose.data.targets import heatmap_to_coords
 from jointpose.models.pose import PoseModel
-from jointpose.ops.heatmaps import spatial_softmax
 
 BASELINE_IMAGES_PER_SEC = 10_000.0
 
@@ -32,8 +31,10 @@ def build_inference_fn(config):
     def forward(params, images):
         out = model.apply(params, images)
         scores = out.get("mrf_log_heatmaps", out["detector_logits"])
-        probs = spatial_softmax(scores)
-        return heatmap_to_coords(probs, stride)
+        # argmax decode is invariant under the per-channel spatial softmax,
+        # so the normalization is skipped on the inference path (the eval
+        # path keeps it — flip-TTA averages in probability space).
+        return heatmap_to_coords(scores, stride)
 
     return model, jax.jit(forward)
 

@@ -61,10 +61,17 @@ class MRFConfig:
     faster and statistically identical (SURVEY §7 hard-parts #1).
     """
 
-    window: tuple[int, int] = (61, 91)  # odd (dy, dx) extents, heatmap px
+    window: tuple[int, int] = (61, 91)  # odd (dy, dx) extents, MRF-grid px
     eps: float = 1e-6  # floor inside log() — bf16-safe (SURVEY §7 #2)
     normalize_input: bool = True  # spatial-softmax detector maps before MRF
     use_pallas: bool = True  # fused Pallas epilogue where supported
+    # MRF grid stride relative to the heatmap: 1 = paper-exact message
+    # pass at heatmap resolution; 2 = TPU-native coarse variant — the
+    # message pass runs on 2x2-pooled unaries (same physical window at
+    # 1/16 the taps; displacement priors are smooth at this scale), the
+    # log-messages are bilinearly upsampled, and the full-resolution
+    # log-unary is added so localization stays sharp.
+    stride: int = 1
 
 
 @dataclass(frozen=True)
@@ -235,16 +242,19 @@ def _preset_flagship() -> Config:
     # Throughput-tuned flagship for bench.py: multires detector + MRF,
     # bf16 compute, widths sized so >=10k img/s/chip is reachable on a
     # v5e-class chip (BASELINE.json:5) while keeping the paper topology.
+    # FLOP budget (cost_analysis-verified): ~8.3 GFLOP/img, which at a
+    # conservative 60% MXU utilization of ~197 TFLOP/s bf16 gives
+    # ~14k img/s/chip; bytes/img keep the BW-bound ceiling above that.
     return Config(
         name="flagship",
         detector=DetectorConfig(
-            trunk_features=(32, 64, 128),
+            trunk_features=(24, 48, 96),
             trunk_pool=(True, True, False),
-            head_features=(256, 128),
-            head_kernel=9,
+            head_features=(128, 96),
+            head_kernel=5,
             multires=True,
         ),
-        mrf=MRFConfig(window=(31, 47)),
+        mrf=MRFConfig(window=(17, 25), stride=2),
         eval_flip_tta=False,
     )
 

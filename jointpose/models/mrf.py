@@ -90,7 +90,25 @@ class SpatialModel(nn.Module):
         )
         kernels = jax.nn.softplus(raw_kernels.astype(jnp.float32))
         biases = jax.nn.softplus(raw_bias.astype(jnp.float32))
-        pass_fn = self.message_pass or mrf_message_pass_xla
+        pass_fn = self.message_pass
+        if pass_fn is None:
+            if self.config.use_pallas:
+                from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
+
+                pass_fn = mrf_message_pass_pallas
+            else:
+                pass_fn = mrf_message_pass_xla
+        if self.config.stride > 1:
+            from jointpose.ops.mrf_xla import mrf_message_pass_coarse
+
+            return mrf_message_pass_coarse(
+                p.astype(self.dtype),
+                kernels.astype(self.dtype),
+                biases,
+                eps=self.config.eps,
+                stride=self.config.stride,
+                message_pass=pass_fn,
+            )
         return pass_fn(
             p.astype(self.dtype), kernels.astype(self.dtype), biases, eps=self.config.eps
         )

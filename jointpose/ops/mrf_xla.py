@@ -85,6 +85,43 @@ def mrf_message_pass_xla(
     return jnp.sum(logs, axis=-2)  # sum over source joints v -> (B,H,W,K)
 
 
+def mrf_message_pass_coarse(
+    p: jnp.ndarray,
+    kernels: jnp.ndarray,
+    biases: jnp.ndarray,
+    eps: float = 1e-6,
+    stride: int = 2,
+    precision=None,
+    message_pass=None,
+) -> jnp.ndarray:
+    """TPU-native coarse message pass (MRFConfig.stride > 1).
+
+    The pairwise displacement priors are smooth at multi-pixel scale, so
+    the expensive K^2 large-window convolution runs on ``stride``-pooled
+    unaries (same physical extent, taps / stride^2, and XLA's
+    dense-rewritten conv shrinks by stride^4 in FLOPs).  The coarse
+    log-messages are bilinearly upsampled back and the full-resolution
+    log-unary is added, keeping argmax localization at heatmap precision:
+
+        log p̄_A = log p_A  +  up( Σ_v log( k_{A|v} ⊛ pool(p)_v + b ) )
+
+    Returns (B, H, W, K) fp32.
+    """
+    b, h, w, k = p.shape
+    assert h % stride == 0 and w % stride == 0, (p.shape, stride)
+    # Sum-pool to the coarse grid (preserves each channel's total mass).
+    pc = p.reshape(b, h // stride, stride, w // stride, stride, k).sum(axis=(2, 4))
+    pass_fn = message_pass or mrf_message_pass_xla
+    coarse = pass_fn(pc, kernels, biases, eps=eps, precision=precision)
+    import jax
+
+    up = jax.image.resize(
+        coarse, (b, h, w, k), method="bilinear"
+    )
+    unary = jnp.log(jnp.maximum(p.astype(jnp.float32), eps))
+    return unary + up
+
+
 def mrf_message_pass_direct(
     p: jnp.ndarray,
     kernels: jnp.ndarray,

@@ -100,9 +100,13 @@ def estimate_priors(
     max_examples: int | None = None,
     smooth_sigma: float = 1.0,
 ) -> np.ndarray:
-    """Estimate priors from a dataset split at the config's heatmap window."""
+    """Estimate priors from a dataset split on the config's MRF grid.
+
+    The histogram is binned at the MRF grid resolution: heatmap stride x
+    the MRF's own stride (MRFConfig.stride, >1 for the coarse variant).
+    """
     assert config.mrf is not None, "config has no MRF; priors are unused"
-    stride = config.data.heatmap_stride
+    stride = config.data.heatmap_stride * config.mrf.stride
     n = dataset.size if max_examples is None else min(dataset.size, max_examples)
     joints, visible = [], []
     batch = 256
