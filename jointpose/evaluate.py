@@ -25,7 +25,7 @@ import numpy as np
 
 from jointpose import skeleton
 from jointpose.configs import Config
-from jointpose.data.pipeline import Dataset, batch_iterator
+from jointpose.data.pipeline import Dataset
 from jointpose.data.targets import heatmap_to_coords
 from jointpose.ops.heatmaps import spatial_softmax
 
@@ -116,10 +116,20 @@ def evaluate(
     batch = config.train.batch_size
     detected = np.zeros((len(thresholds), skeleton.NUM_JOINTS))
     visible = np.zeros((skeleton.NUM_JOINTS,))
-    for i, idx in enumerate(batch_iterator(dataset, batch)):
+    # Exact-split coverage: the final ragged chunk is padded by wrapping
+    # (keeping the jitted batch shape static) and the padded duplicates
+    # are masked out through `visible`, so every example counts once.
+    n = dataset.size
+    for i, start in enumerate(range(0, n, batch)):
         if max_batches is not None and i >= max_batches:
             break
-        d, v = eval_step(params, dataset.get_batch(idx))
+        idx = (np.arange(start, start + batch, dtype=np.int32)) % n
+        got = dataset.get_batch(jnp.asarray(idx))
+        if start + batch > n:
+            mask = (np.arange(start, start + batch) < n).astype(np.float32)
+            got = dict(got)
+            got["visible"] = got["visible"] * jnp.asarray(mask)[:, None]
+        d, v = eval_step(params, got)
         detected += np.asarray(d)
         visible += np.asarray(v)
     curves = detected / np.maximum(visible[None], 1.0)  # (T, K)

@@ -160,6 +160,7 @@ def fit(
     eval_max_batches: int | None = None,
     resume: bool = False,
     save_figures: bool = False,
+    profile_steps: int = 0,
 ) -> FitResult:
     """Run the full staged training; returns final state + eval metrics."""
     from jointpose.checkpoint import Checkpointer
@@ -200,6 +201,15 @@ def fit(
         "joint": make_train_step(config, "joint"),
     }
 
+    profiler = None
+    if profile_steps > 0:
+        from jointpose.metrics import ProfilerHook
+
+        # Trace a window after the first steps of the run have warmed up
+        # (compile excluded); viewable with tensorboard-plugin-profile.
+        profiler = ProfilerHook(workdir, start_step=start_step + 5,
+                                num_steps=profile_steps)
+
     rng_np = np.random.default_rng(config.train.seed)
     batches = iter([])
     step = start_step
@@ -234,7 +244,12 @@ def fit(
             batches = batch_iterator(train_ds, config.train.batch_size, rng_np)
             idx = next(batches)
         batch = shard_batch(train_ds.get_batch(idx), mesh)
-        state, metrics = step_fns[stage](state, batch)
+        if profiler is not None:
+            profiler.on_step(step)
+            with profiler.annotation(step):
+                state, metrics = step_fns[stage](state, batch)
+        else:
+            state, metrics = step_fns[stage](state, batch)
         step = int(state.step)
 
         if step % config.train.log_every == 0 or step == total_steps:
@@ -280,7 +295,19 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--eval-max-batches", type=int, default=None)
     parser.add_argument("--figures", action="store_true",
                         help="save PDJ curves + heatmap overlays at the end")
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="trace N train steps with jax.profiler into "
+                             "<workdir>/profile")
+    parser.add_argument("--check-numerics", action="store_true",
+                        help="enable jax_debug_nans (fail fast on NaN/Inf)")
     args = parser.parse_args(argv)
+
+    # Multi-host wiring (no-op on a single host) must precede device use.
+    from jointpose.parallel.mesh import init_distributed
+
+    init_distributed()
+    if args.check_numerics:
+        jax.config.update("jax_debug_nans", True)
 
     config = get_config(args.config)
     tr: dict[str, Any] = {}
@@ -298,7 +325,8 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     result = fit(config, args.workdir, eval_max_batches=args.eval_max_batches,
-                 resume=args.resume, save_figures=args.figures)
+                 resume=args.resume, save_figures=args.figures,
+                 profile_steps=args.profile_steps)
     print("final:", {k: v for k, v in result.metrics.items() if k != "pdj_curves"})
 
 

@@ -98,3 +98,23 @@ def test_flip_images_mirrors_width():
     np.testing.assert_array_equal(
         np.asarray(flipped)[0, 0, :, 0], np.asarray(img)[0, 0, ::-1, 0]
     )
+
+
+def test_evaluate_counts_each_example_once(tiny_config):
+    # 8 test examples, batch 4 -> exact; batch 6 -> ragged final chunk
+    # must not double-count wrapped duplicates.
+    import dataclasses
+    import jax
+    from jointpose.data.pipeline import make_dataset
+    from jointpose.evaluate import evaluate
+    from jointpose.models.pose import PoseModel
+
+    cfg = tiny_config.replace(mrf=None)
+    _, test_ds = make_dataset(cfg.data)
+    model = PoseModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *cfg.data.image_hw, 3)))
+    for bs in (4, 6):
+        c = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=bs))
+        ev = evaluate(params, test_ds, c, model.apply)
+        assert ev["num_examples"] == test_ds.size, (bs, ev["num_examples"])
