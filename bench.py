@@ -34,7 +34,7 @@ def build_inference_fn(config):
         # argmax decode is invariant under the per-channel spatial softmax,
         # so the normalization is skipped on the inference path (the eval
         # path keeps it — flip-TTA averages in probability space).
-        return heatmap_to_coords(scores, stride)
+        return heatmap_to_coords(scores, stride, refine=config.decode_refine)
 
     return model, jax.jit(forward)
 

@@ -154,6 +154,11 @@ class Config:
     # params & loss stay fp32 — SURVEY §7 build step 3).
     compute_dtype: str = "bfloat16"
     eval_flip_tta: bool = False
+    # Sub-heatmap-pixel decode: 3x3 value-weighted centroid around the
+    # argmax.  False = reference-parity plain argmax; True removes most
+    # of the stride-quantization error (a capability beyond the
+    # reference, enabled on eval_tta and flagship).
+    decode_refine: bool = False
 
     @property
     def num_joints(self) -> int:
@@ -205,7 +210,9 @@ def _preset_joint() -> Config:
 
 def _preset_eval_tta() -> Config:
     # BASELINE config 5: batched eval, PDJ/PCK curves, flip-averaged TTA.
-    return _preset_joint().replace(name="eval_tta", eval_flip_tta=True)
+    return _preset_joint().replace(
+        name="eval_tta", eval_flip_tta=True, decode_refine=True
+    )
 
 
 def _preset_tiny() -> Config:
@@ -256,6 +263,7 @@ def _preset_flagship() -> Config:
         ),
         mrf=MRFConfig(window=(17, 25), stride=2),
         eval_flip_tta=False,
+        decode_refine=True,
     )
 
 

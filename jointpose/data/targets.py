@@ -50,12 +50,21 @@ def render_gaussian_heatmaps(
     return (hm * vis).astype(jnp.float32)
 
 
-def heatmap_to_coords(heatmaps: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """Hard-argmax decode: heatmaps (..., Hm, Wm, K) -> image coords (..., K, 2).
+def heatmap_to_coords(
+    heatmaps: jnp.ndarray, stride: int, refine: bool = False
+) -> jnp.ndarray:
+    """Argmax decode: heatmaps (..., Hm, Wm, K) -> image coords (..., K, 2).
 
-    Matches the reference's per-channel pixel argmax (SURVEY §3.2 last
-    step), mapped back to input resolution through the heatmap stride
-    with a half-stride center offset.  Returned as (x, y).
+    ``refine=False`` matches the reference's per-channel pixel argmax
+    (SURVEY §3.2 last step), mapped back to input resolution through the
+    heatmap stride with a half-stride center offset.  Returned as (x, y).
+
+    ``refine=True`` adds sub-heatmap-pixel precision beyond the
+    reference: a softmax-weighted centroid over the 3x3 neighborhood of
+    the argmax (gather-free — built from ±1 spatial rolls, so it stays
+    one fused XLA program).  At stride 4 this removes most of the ~2.5px
+    quantization error, which is significant against the 0.05-torso PDJ
+    threshold.
     """
     hm_h, hm_w = heatmaps.shape[-3], heatmaps.shape[-2]
     flat = heatmaps.reshape(*heatmaps.shape[:-3], hm_h * hm_w, heatmaps.shape[-1])
@@ -63,4 +72,39 @@ def heatmap_to_coords(heatmaps: jnp.ndarray, stride: int) -> jnp.ndarray:
     yy = (idx // hm_w).astype(jnp.float32)
     xx = (idx % hm_w).astype(jnp.float32)
     coords_hm = jnp.stack([xx, yy], axis=-1)  # (..., K, 2) in heatmap px
+
+    if refine:
+        h = heatmaps.astype(jnp.float32)
+        shifts = [
+            (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ]
+        rolled = lambda dy, dx: jnp.roll(h, (-dy, -dx), axis=(-3, -2))
+        # Value-weighted centroid (heatmaps are probabilities/Gaussians);
+        # values are floored at zero relative to the local minimum so
+        # log-space inputs also behave.  Folded sums keep peak memory at
+        # one heatmap copy (no 9-wide stacked intermediate).
+        m = h
+        for dy, dx in shifts:
+            if (dy, dx) != (0, 0):
+                m = jnp.minimum(m, rolled(dy, dx))
+        den = jnp.zeros_like(h)
+        num_x = jnp.zeros_like(h)
+        num_y = jnp.zeros_like(h)
+        for dy, dx in shifts:
+            wgt = rolled(dy, dx) - m
+            den = den + wgt
+            num_x = num_x + dx * wgt
+            num_y = num_y + dy * wgt
+        den = jnp.maximum(den, 1e-12)
+        delta = jnp.stack([num_x / den, num_y / den], axis=-1)
+        flat_delta = delta.reshape(
+            *delta.shape[:-4], hm_h * hm_w, delta.shape[-2], 2
+        )
+        sel = jnp.take_along_axis(
+            flat_delta, idx[..., None, :, None].astype(jnp.int32), axis=-3
+        )[..., 0, :, :]  # (..., K, 2)
+        # Rolled neighbors wrap at borders; the offset stays bounded so a
+        # hard clip keeps border peaks sensible.
+        coords_hm = coords_hm + jnp.clip(sel, -1.0, 1.0)
+
     return coords_hm * stride + (stride - 1) / 2.0

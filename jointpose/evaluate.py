@@ -96,7 +96,7 @@ def make_eval_step(
         if config.eval_flip_tta:
             flipped = heatmap_probs(params, flip_images(batch["image"]))
             probs = 0.5 * (probs + unflip_heatmaps(flipped))
-        pred = heatmap_to_coords(probs, stride)
+        pred = heatmap_to_coords(probs, stride, refine=config.decode_refine)
         detected, vis = pdj_counts(pred, batch["joints"], batch["visible"], thr)
         return detected, vis
 

@@ -54,3 +54,32 @@ def test_argmax_decode_roundtrip():
     coords = heatmap_to_coords(hm, stride=stride)
     expected = np.asarray([[[12.0, 7.0], [3.0, 20.0]]]) * stride + (stride - 1) / 2
     np.testing.assert_allclose(np.asarray(coords), expected, atol=1e-5)
+
+
+def test_refined_decode_improves_subpixel_accuracy():
+    # Joints at non-integer heatmap coords: plain argmax quantizes to the
+    # grid; the 3x3 softmax-centroid refinement must get closer.
+    stride = 4
+    rs = np.random.RandomState(0)
+    joints_hm = jnp.asarray(rs.uniform(4, 18, (8, 5, 2)), jnp.float32)
+    vis = jnp.ones((8, 5))
+    hm = render_gaussian_heatmaps(joints_hm, vis, (24, 32), sigma=1.5)
+    expected = np.asarray(joints_hm) * stride + (stride - 1) / 2
+    plain = np.asarray(heatmap_to_coords(hm, stride))
+    refined = np.asarray(heatmap_to_coords(hm, stride, refine=True))
+    err_plain = np.linalg.norm(plain - expected, axis=-1).mean()
+    err_refined = np.linalg.norm(refined - expected, axis=-1).mean()
+    assert err_refined < err_plain * 0.75, (err_plain, err_refined)
+    assert err_refined < 2.0  # image px
+
+
+def test_refined_decode_exact_at_integer_peaks():
+    # At integer-coordinate peaks the refinement must not move the
+    # decode materially (symmetric neighborhood -> ~zero offset).
+    stride = 4
+    joints_hm = jnp.asarray([[[12.0, 7.0], [20.0, 15.0]]])
+    vis = jnp.ones((1, 2))
+    hm = render_gaussian_heatmaps(joints_hm, vis, (24, 32), sigma=1.5)
+    plain = np.asarray(heatmap_to_coords(hm, stride))
+    refined = np.asarray(heatmap_to_coords(hm, stride, refine=True))
+    np.testing.assert_allclose(refined, plain, atol=0.3)
