@@ -1,0 +1,120 @@
+"""Batch inference entry: checkpoint -> joint coordinates (+ overlays).
+
+The reference's "inference" is rerunning its script in eval mode
+(SURVEY §3.2/§3.3); this gives the same capability as a first-class
+CLI and library call: restore a checkpoint, run the detector+MRF
+forward in one jitted program, decode to image-space joint
+coordinates, and emit JSONL (one record per example) with optional
+heatmap-overlay figures.
+
+CLI:  python -m jointpose.predict --config flagship \
+          --checkpoint runs/flagship/checkpoints --workdir out/ \
+          [--split test] [--num 64] [--figures]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jointpose import skeleton
+from jointpose.configs import Config, get_config
+from jointpose.data.pipeline import make_dataset
+from jointpose.data.targets import heatmap_to_coords
+from jointpose.evaluate import flip_images, unflip_heatmaps
+from jointpose.models.pose import PoseModel
+from jointpose.ops.heatmaps import spatial_softmax
+
+
+def build_predictor(config: Config, params):
+    """Return a jitted fn: images (B,H,W,3) -> (coords (B,K,2), probs)."""
+    model = PoseModel(config)
+    stride = config.data.heatmap_stride
+
+    def probs_fn(images):
+        out = model.apply(params, images)
+        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
+        return spatial_softmax(scores)
+
+    @jax.jit
+    def predict(images):
+        probs = probs_fn(images)
+        if config.eval_flip_tta:
+            probs = 0.5 * (probs + unflip_heatmaps(probs_fn(flip_images(images))))
+        coords = heatmap_to_coords(probs, stride, refine=config.decode_refine)
+        return coords, probs
+
+    return predict
+
+
+def restore_params(config: Config, checkpoint_dir: str, step: int | None = None):
+    """Restore model params from an orbax checkpoint directory."""
+    from jointpose.checkpoint import Checkpointer
+    from jointpose.train import create_state
+
+    model = PoseModel(config)
+    template = create_state(config, model, jax.random.PRNGKey(0))
+    ckpt = Checkpointer(checkpoint_dir, keep=1)
+    state = ckpt.restore(template, step=step)
+    ckpt.close()
+    return {"params": state.params}, int(state.step)
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="jointpose batch inference")
+    parser.add_argument("--config", default="flagship")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--step", type=int, default=None,
+                        help="checkpoint step (default: latest)")
+    parser.add_argument("--split", choices=["train", "test"], default="test")
+    parser.add_argument("--num", type=int, default=32)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--figures", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = get_config(args.config)
+    params, step = restore_params(config, args.checkpoint, args.step)
+    predict = build_predictor(config, params)
+    train_ds, test_ds = make_dataset(config.data)
+    ds = train_ds if args.split == "train" else test_ds
+
+    os.makedirs(args.workdir, exist_ok=True)
+    out_path = os.path.join(args.workdir, "predictions.jsonl")
+    n = min(args.num, ds.size)
+    bs = args.batch_size
+    with open(out_path, "w") as f:
+        for start in range(0, n, bs):
+            idx = np.arange(start, min(start + bs, n), dtype=np.int32)
+            pad = bs - len(idx)
+            batch = ds.get_batch(jnp.asarray(np.pad(idx, (0, pad), mode="edge")))
+            coords, probs = predict(batch["image"])
+            coords_np = np.asarray(coords)[: len(idx)]
+            for row, ex in zip(coords_np, idx.tolist()):
+                f.write(json.dumps({
+                    "example": int(ex),
+                    "split": args.split,
+                    "joints": {
+                        name: [float(row[j, 0]), float(row[j, 1])]
+                        for j, name in enumerate(skeleton.JOINTS)
+                    },
+                }) + "\n")
+            if args.figures and start == 0:
+                from jointpose.visualize import save_heatmap_overlays
+
+                save_heatmap_overlays(
+                    np.asarray(batch["image"])[: len(idx)],
+                    np.asarray(probs)[: len(idx)],
+                    os.path.join(args.workdir, "predictions.png"),
+                    coords_np,
+                )
+    print(f"wrote {n} predictions (checkpoint step {step}) to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Real-FLIC loader test against a synthesized examples.mat (SURVEY C2).
+
+Real FLIC is unavailable (no network), so this builds a miniature FLIC
+directory — MATLAB struct annotations via scipy.io.savemat + JPEG
+frames via PIL — and checks the loader's joint-column mapping, split
+handling, coordinate rescaling and nose fallback.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+scipy_io = pytest.importorskip("scipy.io")
+PIL_Image = pytest.importorskip("PIL.Image")
+
+from jointpose import skeleton
+from jointpose.configs import DataConfig
+from jointpose.data.flic import _FLIC_COLUMNS, load_flic
+
+SRC_W, SRC_H = 720, 480
+
+
+def _make_fake_flic(root, n_train=3, n_test=2):
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    examples = []
+    rs = np.random.RandomState(0)
+    gt = []
+    for i in range(n_train + n_test):
+        coords = np.full((2, 29), np.nan)
+        joints = {}
+        for name, col in _FLIC_COLUMNS.items():
+            if name in ("leye", "reye"):
+                continue
+            xy = rs.uniform([60, 60], [SRC_W - 60, SRC_H - 60])
+            coords[:, col - 1] = xy
+            joints[name] = xy
+        if i == 0:
+            # Example 0: no nose -> loader must fall back to eye average.
+            coords[:, _FLIC_COLUMNS["nose"] - 1] = np.nan
+            le = rs.uniform([200, 100], [300, 200])
+            re = le + [40.0, 0.0]
+            coords[:, _FLIC_COLUMNS["leye"] - 1] = le
+            coords[:, _FLIC_COLUMNS["reye"] - 1] = re
+            joints["nose"] = (le + re) / 2
+        fname = f"frame{i:03d}.jpg"
+        img = (rs.rand(SRC_H, SRC_W, 3) * 255).astype(np.uint8)
+        PIL_Image.fromarray(img).save(os.path.join(root, "images", fname))
+        examples.append(
+            {
+                "filepath": fname,
+                "coords": coords,
+                "istrain": float(i < n_train),
+                "istest": float(i >= n_train),
+            }
+        )
+        gt.append(joints)
+    # MATLAB struct-array layout matching scipy's squeeze_me round trip.
+    dt = [("filepath", object), ("coords", object), ("istrain", object), ("istest", object)]
+    arr = np.zeros((len(examples),), dtype=dt)
+    for i, ex in enumerate(examples):
+        arr[i] = (ex["filepath"], ex["coords"], ex["istrain"], ex["istest"])
+    scipy_io.savemat(os.path.join(root, "examples.mat"), {"examples": arr})
+    return gt
+
+
+def test_load_flic_end_to_end(tmp_path):
+    gt = _make_fake_flic(str(tmp_path))
+    cfg = DataConfig(source="flic", flic_dir=str(tmp_path), image_hw=(240, 360))
+    train, test = load_flic(cfg)
+    assert train["image"].shape == (3, 240, 360, 3)
+    assert test["image"].shape == (2, 240, 360, 3)
+    assert train["joints"].shape == (3, skeleton.NUM_JOINTS, 2)
+    assert train["image"].dtype == np.float32
+    assert 0.0 <= train["image"].min() and train["image"].max() <= 1.0
+    # Coordinates rescaled by 0.5 (720x480 -> 360x240).
+    sx, sy = 360 / SRC_W, 240 / SRC_H
+    for j, name in enumerate(skeleton.JOINTS):
+        expected = gt[1][name] * [sx, sy]
+        np.testing.assert_allclose(train["joints"][1, j], expected, atol=1e-3)
+    assert train["visible"].all()
+
+
+def test_load_flic_nose_fallback_to_eye_average(tmp_path):
+    gt = _make_fake_flic(str(tmp_path))
+    cfg = DataConfig(source="flic", flic_dir=str(tmp_path), image_hw=(240, 360))
+    train, _ = load_flic(cfg)
+    j = skeleton.JOINT_INDEX["nose"]
+    expected = gt[0]["nose"] * [360 / SRC_W, 240 / SRC_H]
+    np.testing.assert_allclose(train["joints"][0, j], expected, atol=1e-3)
+    assert train["visible"][0, j] == 1.0
+
+
+def test_make_dataset_flic_source(tmp_path):
+    import jax.numpy as jnp
+
+    from jointpose.data.pipeline import make_dataset
+
+    _make_fake_flic(str(tmp_path))
+    cfg = DataConfig(source="flic", flic_dir=str(tmp_path), image_hw=(240, 360))
+    train, test = make_dataset(cfg)
+    assert train.size == 3 and test.size == 2
+    batch = train.get_batch(jnp.asarray([0, 2], jnp.int32))
+    assert batch["image"].shape == (2, 240, 360, 3)
