@@ -110,9 +110,15 @@ def evaluate(
     apply_fn: Callable,
     thresholds=DEFAULT_THRESHOLDS,
     max_batches: int | None = None,
+    eval_step: Callable | None = None,
 ) -> dict:
-    """Full-split evaluation; returns PDJ curves and headline numbers."""
-    eval_step = make_eval_step(config, apply_fn, thresholds)
+    """Full-split evaluation; returns PDJ curves and headline numbers.
+
+    Pass a prebuilt ``eval_step`` (from :func:`make_eval_step`) when
+    calling repeatedly — each ``make_eval_step`` closure is a fresh jit
+    cache entry, so rebuilding per call recompiles the forward pass.
+    """
+    eval_step = eval_step or make_eval_step(config, apply_fn, thresholds)
     batch = config.train.batch_size
     detected = np.zeros((len(thresholds), skeleton.NUM_JOINTS))
     visible = np.zeros((skeleton.NUM_JOINTS,))

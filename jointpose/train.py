@@ -216,6 +216,10 @@ def fit(
     t_last, n_last = time.time(), step
     final_eval: dict = {}
 
+    from jointpose.evaluate import make_eval_step
+
+    eval_step_fn = make_eval_step(config, model.apply)
+
     def run_eval(step: int) -> dict:
         ev = evaluate(
             {"params": state.params},
@@ -223,6 +227,7 @@ def fit(
             config,
             model.apply,
             max_batches=eval_max_batches,
+            eval_step=eval_step_fn,
         )
         logger.log(
             step,
