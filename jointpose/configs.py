@@ -61,7 +61,12 @@ class MRFConfig:
     faster and statistically identical (SURVEY §7 hard-parts #1).
     """
 
-    window: tuple[int, int] = (61, 91)  # odd (dy, dx) extents, MRF-grid px
+    # Odd (dy, dx) kernel extents in MRF-grid pixels.  (45, 67) at
+    # heatmap stride 4 covers ±(88, 132) image px of displacement —
+    # beyond any upper-body joint pair at FLIC scale (the empirical
+    # priors are empty further out), at ~1/4 the taps of the full
+    # (2*Hm-1, 2*Wm-1) extent.  Fully configurable for larger scenes.
+    window: tuple[int, int] = (45, 67)
     eps: float = 1e-6  # floor inside log() — bf16-safe (SURVEY §7 #2)
     normalize_input: bool = True  # spatial-softmax detector maps before MRF
     use_pallas: bool = True  # fused Pallas epilogue where supported
