@@ -86,11 +86,17 @@ def _render_targets(config: Config, joints_xy, visible):
     }
 
 
-def make_train_step(config: Config, stage: str) -> Callable:
+def make_train_step(
+    config: Config, stage: str, get_batch: Callable | None = None
+) -> Callable:
     """Build the jitted train step for a stage ('detector' | 'joint').
 
-    The returned step takes (state, batch) and returns (state, metrics);
-    batch = {'image', 'joints', 'visible'} device arrays.
+    Without ``get_batch`` the step takes (state, batch) with batch =
+    {'image', 'joints', 'visible'} device arrays.  With ``get_batch``
+    (a jittable indices->batch fn, e.g. the synthetic source) the step
+    takes (state, indices) and generation fuses INTO the step: one
+    device dispatch per step, and with indices sharded over the mesh
+    'data' axis the batch is generated data-parallel on each shard.
     """
     assert stage in ("detector", "joint"), stage
     use_mrf = stage == "joint" and config.mrf is not None
@@ -115,6 +121,8 @@ def make_train_step(config: Config, stage: str) -> Callable:
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
+        if get_batch is not None:
+            batch = get_batch(batch)  # batch arg carries the indices
         images = batch["image"]
         joints, visible = batch["joints"], batch["visible"]
         if augment:
@@ -196,9 +204,14 @@ def fit(
     joint_steps = config.train.joint_steps if config.mrf is not None else 0
     total_steps = det_steps + joint_steps
 
+    # Fuse batch generation into the step for the synthetic source (the
+    # generator is a pure jittable fn; FLIC's host arrays would embed as
+    # giant constants, so that path stays two-dispatch).
+    fused = config.data.source == "synthetic"
+    gen = train_ds.get_batch if fused else None
     step_fns = {
-        "detector": make_train_step(config, "detector"),
-        "joint": make_train_step(config, "joint"),
+        "detector": make_train_step(config, "detector", get_batch=gen),
+        "joint": make_train_step(config, "joint", get_batch=gen),
     }
 
     profiler = None
@@ -248,7 +261,12 @@ def fit(
         except StopIteration:
             batches = batch_iterator(train_ds, config.train.batch_size, rng_np)
             idx = next(batches)
-        batch = shard_batch(train_ds.get_batch(idx), mesh)
+        if fused:
+            batch = jax.device_put(
+                idx, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+            )
+        else:
+            batch = shard_batch(train_ds.get_batch(idx), mesh)
         if profiler is not None:
             profiler.on_step(step)
             with profiler.annotation(step):
