@@ -99,6 +99,11 @@ class TrainConfig:
     weight_decay: float = 1e-5
     optimizer: str = "adamw"  # adamw | momentum
     momentum: float = 0.9
+    # LR schedule over the full staged run: 'constant' or 'cosine'
+    # (linear warmup then cosine decay to lr_final_frac * lr).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
+    lr_final_frac: float = 0.05
     # Loss on detector heatmaps: 'mse' (paper §3.3 per-pixel regression)
     # or 'ce' (per-joint spatial softmax cross-entropy).
     detector_loss: str = "mse"

@@ -52,14 +52,22 @@ def build_predictor(config: Config, params):
     return predict
 
 
-def restore_params(config: Config, checkpoint_dir: str, step: int | None = None):
-    """Restore model params from an orbax checkpoint directory."""
+def restore_params(
+    config: Config, checkpoint_dir: str, step: int | None = None, best: bool = False
+):
+    """Restore model params from an orbax checkpoint directory.
+
+    ``best=True`` picks the keep-best-by-PDJ checkpoint; otherwise the
+    given ``step`` or the latest.
+    """
     from jointpose.checkpoint import Checkpointer
     from jointpose.train import create_state
 
     model = PoseModel(config)
     template = create_state(config, model, jax.random.PRNGKey(0))
     ckpt = Checkpointer(checkpoint_dir, keep=1)
+    if best and step is None:
+        step = ckpt.best_step()
     state = ckpt.restore(template, step=step)
     ckpt.close()
     return {"params": state.params}, int(state.step)
@@ -72,6 +80,8 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--step", type=int, default=None,
                         help="checkpoint step (default: latest)")
+    parser.add_argument("--best", action="store_true",
+                        help="use the keep-best-by-PDJ checkpoint")
     parser.add_argument("--split", choices=["train", "test"], default="test")
     parser.add_argument("--num", type=int, default=32)
     parser.add_argument("--batch-size", type=int, default=32)
@@ -79,7 +89,7 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     config = get_config(args.config)
-    params, step = restore_params(config, args.checkpoint, args.step)
+    params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     predict = build_predictor(config, params)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds

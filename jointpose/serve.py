@@ -1,0 +1,134 @@
+"""Minimal HTTP inference server (stdlib-only).
+
+Production-serving entry: loads a checkpoint once, compiles the
+detector+MRF forward at a fixed batch shape, then serves joint
+coordinates over HTTP.  Requests batch up to ``--batch-size`` images;
+smaller requests are padded to the compiled shape (static shapes — no
+recompiles at serving time).
+
+API:
+  GET  /healthz            -> {"status": "ok", "step": N}
+  POST /predict            -> {"predictions": [{"joints": {...}}, ...]}
+       body: {"images": [[...HxWx3 floats in [0,1]...], ...]}
+       or    raw npy bytes (Content-Type: application/x-npy) of shape
+             (B, H, W, 3) float32
+
+CLI:  python -m jointpose.serve --config flagship \
+          --checkpoint runs/flagship/checkpoints --port 8471
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax.numpy as jnp
+import numpy as np
+
+from jointpose import skeleton
+from jointpose.configs import Config, get_config
+
+
+class PoseService:
+    """Holds the compiled predictor and the fixed serving batch shape."""
+
+    def __init__(self, config: Config, checkpoint_dir: str, batch_size: int,
+                 step: int | None = None, best: bool = True):
+        from jointpose.predict import build_predictor, restore_params
+
+        self.config = config
+        self.batch_size = batch_size
+        params, self.step = restore_params(config, checkpoint_dir, step, best=best)
+        self._predict = build_predictor(config, params)
+        # Warm the compile at the serving shape.
+        h, w = config.data.image_hw
+        self._predict(jnp.zeros((batch_size, h, w, 3), jnp.float32))
+
+    def predict(self, images: np.ndarray) -> list[dict]:
+        h, w = self.config.data.image_hw
+        if images.ndim != 4 or images.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"expected images of shape (B, {h}, {w}, 3), got {images.shape}"
+            )
+        out: list[dict] = []
+        bs = self.batch_size
+        for start in range(0, images.shape[0], bs):
+            chunk = images[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, h, w, 3), np.float32)])
+            coords, _ = self._predict(jnp.asarray(chunk, jnp.float32))
+            coords_np = np.asarray(coords)[: bs - pad if pad else bs]
+            for row in coords_np:
+                out.append(
+                    {
+                        "joints": {
+                            name: [float(row[j, 0]), float(row[j, 1])]
+                            for j, name in enumerate(skeleton.JOINTS)
+                        }
+                    }
+                )
+        return out
+
+
+def make_handler(service: PoseService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "step": service.step,
+                                 "config": service.config.name})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "application/json")
+                if ctype == "application/x-npy":
+                    images = np.load(io.BytesIO(raw), allow_pickle=False)
+                else:
+                    images = np.asarray(json.loads(raw)["images"], np.float32)
+                preds = service.predict(images.astype(np.float32))
+                self._send(200, {"predictions": preds, "step": service.step})
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="jointpose inference server")
+    parser.add_argument("--config", default="flagship")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--port", type=int, default=8471)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--step", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    service = PoseService(
+        get_config(args.config), args.checkpoint, args.batch_size, step=args.step
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
+    print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,14 +51,31 @@ class TrainState(train_state.TrainState):
     base_rng: jax.Array = struct.field(pytree_node=True, default=None)
 
 
+def make_lr(config: Config):
+    t = config.train
+    if t.lr_schedule == "constant":
+        return t.learning_rate
+    if t.lr_schedule == "cosine":
+        total = t.detector_steps + (t.joint_steps if config.mrf is not None else 0)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=t.learning_rate,
+            warmup_steps=min(t.warmup_steps, max(total // 10, 1)),
+            decay_steps=total,
+            end_value=t.learning_rate * t.lr_final_frac,
+        )
+    raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+
+
 def make_optimizer(config: Config) -> optax.GradientTransformation:
     t = config.train
+    lr = make_lr(config)
     if t.optimizer == "adamw":
-        return optax.adamw(t.learning_rate, weight_decay=t.weight_decay)
+        return optax.adamw(lr, weight_decay=t.weight_decay)
     if t.optimizer == "momentum":
         return optax.chain(
             optax.add_decayed_weights(t.weight_decay),
-            optax.sgd(t.learning_rate, momentum=t.momentum),
+            optax.sgd(lr, momentum=t.momentum),
         )
     raise ValueError(f"unknown optimizer {t.optimizer!r}")
 

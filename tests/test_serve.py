@@ -1,0 +1,103 @@
+"""HTTP inference server tests (stdlib client against a live server)."""
+
+import dataclasses
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+
+from jointpose.configs import get_config
+from jointpose.serve import PoseService, make_handler
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    # Train nothing: save an initialized state as the "checkpoint".
+    cfg = get_config("tiny").replace(
+        train=dataclasses.replace(get_config("tiny").train, batch_size=2)
+    )
+    from jointpose.checkpoint import Checkpointer
+    from jointpose.models.pose import PoseModel
+    from jointpose.train import create_state
+
+    ckpt_dir = str(tmp_path_factory.mktemp("ck"))
+    state = create_state(cfg, PoseModel(cfg), jax.random.PRNGKey(0))
+    ckpt = Checkpointer(ckpt_dir, keep=1)
+    ckpt.save(0, state)
+    ckpt.close()
+
+    service = PoseService(cfg, ckpt_dir, batch_size=2, best=False)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield cfg, port
+    server.shutdown()
+
+
+def _post(port, path, data, ctype="application/json"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(live_server):
+    _, port = live_server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        body = json.loads(resp.read())
+    assert resp.status == 200 and body["status"] == "ok"
+
+
+def test_predict_json(live_server):
+    cfg, port = live_server
+    h, w = cfg.data.image_hw
+    imgs = np.random.RandomState(0).rand(3, h, w, 3).astype(np.float32)
+    status, body = _post(port, "/predict", json.dumps({"images": imgs.tolist()}).encode())
+    assert status == 200
+    assert len(body["predictions"]) == 3
+    joints = body["predictions"][0]["joints"]
+    assert set(joints) == {
+        "nose", "lsho", "rsho", "lelb", "relb", "lwri", "rwri", "lhip", "rhip"
+    }
+    x, y = joints["nose"]
+    assert 0 <= x <= w and 0 <= y <= h
+
+
+def test_predict_npy(live_server):
+    cfg, port = live_server
+    h, w = cfg.data.image_hw
+    imgs = np.random.RandomState(1).rand(1, h, w, 3).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    status, body = _post(port, "/predict", buf.getvalue(), ctype="application/x-npy")
+    assert status == 200 and len(body["predictions"]) == 1
+
+
+def test_predict_bad_shape(live_server):
+    _, port = live_server
+    imgs = np.zeros((1, 8, 8, 3), np.float32)
+    status, body = _post(port, "/predict", json.dumps({"images": imgs.tolist()}).encode())
+    assert status == 400 and "expected images of shape" in body["error"]
+
+
+def test_predict_malformed_json(live_server):
+    _, port = live_server
+    status, body = _post(port, "/predict", b"{not json")
+    assert status == 400
+
+
+def test_unknown_path(live_server):
+    _, port = live_server
+    status, body = _post(port, "/nope", b"{}")
+    assert status == 404
