@@ -36,7 +36,7 @@ from flax.training import train_state
 from jointpose import skeleton
 from jointpose.configs import Config, get_config
 from jointpose.data.augment import augment_batch, random_augment_params
-from jointpose.data.pipeline import batch_iterator, make_dataset
+from jointpose.data.pipeline import make_dataset
 from jointpose.data.targets import render_gaussian_heatmaps
 from jointpose.evaluate import evaluate
 from jointpose.losses import heatmap_loss
@@ -214,7 +214,10 @@ def fit(
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         start_step = int(state.step)
-        mrf_initialized = start_step >= config.train.detector_steps
+        # Strictly greater: a checkpoint taken AT the stage boundary was
+        # written before the prior init (which runs at the first joint
+        # step), so resuming there must still apply it.
+        mrf_initialized = start_step > config.train.detector_steps
         print(f"resumed from step {start_step}")
 
     det_steps = config.train.detector_steps
@@ -240,8 +243,20 @@ def fit(
         profiler = ProfilerHook(workdir, start_step=start_step + 5,
                                 num_steps=profile_steps)
 
-    rng_np = np.random.default_rng(config.train.seed)
-    batches = iter([])
+    # Deterministic dataset position (SURVEY §5 checkpoint/resume): the
+    # batch for step s is a pure function of (seed, s), so resume
+    # continues the exact shuffled order with no iterator state to save.
+    steps_per_epoch = max(train_ds.size, config.train.batch_size) // config.train.batch_size
+
+    def indices_for_step(s: int) -> np.ndarray:
+        epoch, pos = divmod(s, steps_per_epoch)
+        order = np.arange(
+            max(train_ds.size, config.train.batch_size), dtype=np.int32
+        ) % train_ds.size
+        np.random.default_rng(config.train.seed + epoch).shuffle(order)
+        lo = pos * config.train.batch_size
+        return order[lo : lo + config.train.batch_size]
+
     step = start_step
     t_last, n_last = time.time(), step
     final_eval: dict = {}
@@ -273,11 +288,7 @@ def fit(
             priors = estimate_priors(train_ds, config, max_examples=2048)
             state = init_mrf_from_priors(state, priors)
             mrf_initialized = True
-        try:
-            idx = next(batches)
-        except StopIteration:
-            batches = batch_iterator(train_ds, config.train.batch_size, rng_np)
-            idx = next(batches)
+        idx = jnp.asarray(indices_for_step(step))
         if fused:
             batch = jax.device_put(
                 idx, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))

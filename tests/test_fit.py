@@ -62,3 +62,24 @@ def test_fit_resume_continues_from_checkpoint(tmp_path):
     ]
     steps = [rec["step"] for rec in lines]
     assert max(steps) == 70
+
+
+def test_resume_preserves_data_order(tmp_path):
+    # The batch for step s is a pure function of (seed, s): a resumed run
+    # must see exactly the batches an uninterrupted run would have seen,
+    # so final params match bitwise.
+    import jax
+    import numpy as np
+
+    cfg = _tiny_fit_config()
+    full = fit(cfg, str(tmp_path / "full"))
+    # Interrupted run: stop after the detector stage, then resume.
+    cfg_short = cfg.replace(
+        train=dataclasses.replace(cfg.train, joint_steps=0)
+    )
+    fit(cfg_short, str(tmp_path / "resumed"))
+    resumed = fit(cfg, str(tmp_path / "resumed"), resume=True)
+    for a, b in zip(
+        jax.tree.leaves(full.state.params), jax.tree.leaves(resumed.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
