@@ -288,6 +288,10 @@ def fit(
             priors = estimate_priors(train_ds, config, max_examples=2048)
             state = init_mrf_from_priors(state, priors)
             mrf_initialized = True
+            if save_figures:
+                from jointpose.visualize import save_prior_grid
+
+                save_prior_grid(priors, f"{workdir}/figures/priors.png")
         idx = jnp.asarray(indices_for_step(step))
         if fused:
             batch = jax.device_put(
