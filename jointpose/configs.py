@@ -112,6 +112,10 @@ class TrainConfig:
     # Staged regime [P1406 §3.3]: detector pretrain steps, then joint steps.
     detector_steps: int = 1000
     joint_steps: int = 1000
+    # Freeze the detector during the joint stage (BASELINE config 3: the
+    # spatial model trains on top of fixed unaries; config 4 trains
+    # end-to-end).
+    freeze_detector_in_joint: bool = False
     eval_every: int = 200
     log_every: int = 50
     seed: int = 0
@@ -188,7 +192,8 @@ class Config:
 def _preset_single_scale() -> Config:
     # BASELINE config 1: single-scale detector, heatmap regression,
     # CPU-runnable (fp32 on CPU; the dtype is overridden there).
-    return Config(name="single_scale")
+    # Augmentation arrives with config 4 (its BASELINE description).
+    return Config(name="single_scale", augment=AugmentConfig(enabled=False))
 
 
 def _preset_multires() -> Config:
@@ -196,15 +201,20 @@ def _preset_multires() -> Config:
     return Config(
         name="multires",
         detector=DetectorConfig(multires=True),
+        augment=AugmentConfig(enabled=False),
     )
 
 
 def _preset_mrf() -> Config:
     # BASELINE config 3: MRF spatial model on top of the detector.
+    # The spatial model trains on top of the FROZEN pretrained detector
+    # (end-to-end fine-tuning is config 4).
     return Config(
         name="mrf",
         detector=DetectorConfig(multires=True),
         mrf=MRFConfig(),
+        augment=AugmentConfig(enabled=False),
+        train=TrainConfig(freeze_detector_in_joint=True),
     )
 
 

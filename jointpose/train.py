@@ -117,6 +117,7 @@ def make_train_step(
     """
     assert stage in ("detector", "joint"), stage
     use_mrf = stage == "joint" and config.mrf is not None
+    freeze_detector = use_mrf and config.train.freeze_detector_in_joint
     augment = config.augment.enabled
 
     def loss_fn(params, apply_fn, images, targets, visible):
@@ -130,7 +131,9 @@ def make_train_step(
                 config.train.mrf_loss, out["mrf_log_heatmaps"], targets, visible
             )
             metrics["mrf_loss"] = mrf
-            total = mrf + det
+            # Frozen detector (BASELINE config 3): only the spatial model
+            # trains; the detector loss is reported but not optimized.
+            total = mrf if freeze_detector else mrf + det
         else:
             total = det
         metrics["loss"] = total
@@ -153,7 +156,15 @@ def make_train_step(
         (_, metrics), grads = grad_fn(
             state.params, state.apply_fn, images, targets, visible
         )
+        if freeze_detector:
+            det_before = state.params["detector"]
         state = state.apply_gradients(grads=grads)
+        if freeze_detector:
+            # Exact freeze: adamw's decoupled weight decay would still
+            # drift zero-grad params, so restore the detector subtree.
+            params = dict(state.params)
+            params["detector"] = det_before
+            state = state.replace(params=params)
         metrics["grad_norm"] = optax.global_norm(grads)
         return state, metrics
 

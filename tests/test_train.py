@@ -111,3 +111,31 @@ def test_init_mrf_from_priors_swaps_kernels(tiny_config):
     da = jax.tree.leaves(state.params["detector"])
     db = jax.tree.leaves(state2.params["detector"])
     assert all(np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(da, db))
+
+
+def test_frozen_detector_in_joint_stage(tiny_config):
+    # BASELINE config 3 semantics: during the joint stage with
+    # freeze_detector_in_joint, detector params stay bitwise fixed while
+    # the spatial model trains.
+    cfg = tiny_config.replace(
+        augment=dataclasses.replace(tiny_config.augment, enabled=False),
+        train=dataclasses.replace(
+            tiny_config.train, freeze_detector_in_joint=True
+        ),
+    )
+    model = PoseModel(cfg)
+    state = create_state(cfg, model, jax.random.PRNGKey(0))
+    train_ds, _ = make_dataset(cfg.data)
+    batch = train_ds.get_batch(jnp.arange(cfg.train.batch_size, dtype=jnp.int32))
+    det_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                              state.params["detector"])
+    mrf_before = np.asarray(state.params["spatial_model"]["raw_kernels"]).copy()
+    step = make_train_step(cfg, "joint")
+    for _ in range(5):
+        state, metrics = step(state, dict(batch))
+    for a, b in zip(jax.tree.leaves(det_before),
+                    jax.tree.leaves(state.params["detector"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(
+        mrf_before, np.asarray(state.params["spatial_model"]["raw_kernels"])
+    )
