@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from jointpose.configs import get_config
-from jointpose.data.targets import heatmap_to_coords
 from jointpose.models.pose import PoseModel
+from jointpose.ops.heatmaps import decode_probs, model_probs
 
 BASELINE_IMAGES_PER_SEC = 10_000.0
 
@@ -30,11 +30,10 @@ def build_inference_fn(config):
 
     def forward(params, images):
         out = model.apply(params, images)
-        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
-        # argmax decode is invariant under the per-channel spatial softmax,
-        # so the normalization is skipped on the inference path (the eval
-        # path keeps it — flip-TTA averages in probability space).
-        return heatmap_to_coords(scores, stride, refine=config.decode_refine)
+        # The exact production decode (softmax + sub-pixel refinement) —
+        # the benchmark must time the program users actually run; the
+        # refinement is NOT softmax-invariant, so no shortcut here.
+        return decode_probs(model_probs(out), stride, refine=config.decode_refine)
 
     return model, jax.jit(forward)
 

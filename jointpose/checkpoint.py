@@ -1,9 +1,15 @@
 """Checkpoint/resume (SURVEY C13, §5).
 
-Replaces the reference's ``tf.train.Saver`` save-best/restore with an
-orbax ``CheckpointManager``: step-exact resume of params, optimizer
-state, RNG key and data-epoch position, with a keep-best-by-PDJ
-policy plus keep-last-N.
+Replaces the reference's ``tf.train.Saver`` save-best/restore with
+orbax.  TWO managers back the lifecycle:
+
+- ``latest/``: keep-last-N without metrics — the crash-resume source of
+  truth.  (A single manager with ``best_fn`` + ``max_to_keep`` deletes
+  the NEWEST checkpoint whenever its metric isn't among the best —
+  verified empirically — which would silently resume from an ancient
+  step after a crash.)
+- ``best/``: keep-best-1 by PDJ@0.05 wrist/elbow — the serving source
+  of truth.
 """
 
 from __future__ import annotations
@@ -16,22 +22,33 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _manager(directory: str, keep: int) -> ocp.CheckpointManager:
-    options = ocp.CheckpointManagerOptions(
-        max_to_keep=keep,
-        best_fn=lambda metrics: metrics.get("pdj_at_05_wrist_elbow", 0.0),
-        best_mode="max",
-        create=True,
-    )
-    return ocp.CheckpointManager(os.path.abspath(directory), options=options)
-
-
 class Checkpointer:
     """Thin lifecycle wrapper so train.py stays free of orbax details."""
 
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)
-        self.manager = _manager(self.directory, keep)
+        # Legacy layout (step dirs directly under `directory`, from the
+        # earlier single-manager design): serve reads from it as-is.
+        legacy_steps = [
+            d for d in (os.listdir(self.directory) if os.path.isdir(self.directory) else [])
+            if d.isdigit()
+        ]
+        latest_dir = (
+            self.directory if legacy_steps else os.path.join(self.directory, "latest")
+        )
+        self._latest = ocp.CheckpointManager(
+            latest_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+        )
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                best_fn=lambda m: m.get("pdj_at_05_wrist_elbow", 0.0),
+                best_mode="max",
+                create=True,
+            ),
+        )
 
     def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
         metrics = {
@@ -39,23 +56,33 @@ class Checkpointer:
             for k, v in (metrics or {}).items()
             if isinstance(v, (int, float, np.floating))
         }
-        self.manager.save(
-            step, args=ocp.args.StandardSave(state), metrics=metrics or None
-        )
-        self.manager.wait_until_finished()
+        self._latest.save(step, args=ocp.args.StandardSave(state))
+        if metrics:
+            self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+        self._latest.wait_until_finished()
+        self._best.wait_until_finished()
 
     def latest_step(self) -> int | None:
-        return self.manager.latest_step()
+        return self._latest.latest_step()
 
     def best_step(self) -> int | None:
-        return self.manager.best_step()
+        return self._best.best_step()
 
     def restore(self, state_template: Any, step: int | None = None) -> Any:
-        """Restore into the structure/shardings of ``state_template``."""
-        step = step if step is not None else self.manager.latest_step()
-        assert step is not None, f"no checkpoint found in {self.directory}"
+        """Restore into the structure/shardings of ``state_template``.
+
+        ``step=None`` restores the latest; explicit steps are looked up
+        in the latest manager first, then among the kept-best.
+        """
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-        return self.manager.restore(step, args=ocp.args.StandardRestore(target))
+        if step is None:
+            step = self._latest.latest_step()
+            assert step is not None, f"no checkpoint found in {self.directory}"
+            return self._latest.restore(step, args=ocp.args.StandardRestore(target))
+        if step in self._latest.all_steps():
+            return self._latest.restore(step, args=ocp.args.StandardRestore(target))
+        return self._best.restore(step, args=ocp.args.StandardRestore(target))
 
     def close(self) -> None:
-        self.manager.close()
+        self._latest.close()
+        self._best.close()

@@ -11,6 +11,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Coordinate convention (used consistently by rendering, decoding, priors
+# and flip-TTA): heatmap cell j covers image pixels [j*s, (j+1)*s) and its
+# CENTER sits at image coordinate j*s + (s-1)/2.  Under this pixel-center
+# convention the image mirror x -> (W-1)-x corresponds exactly to the
+# heatmap mirror j -> (Wm-1)-j, which is what makes flip TTA alignment
+# lossless.
+
+
+def image_to_heatmap_coords(joints_xy: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Image-pixel coords -> heatmap coords (pixel-center convention)."""
+    return (joints_xy - (stride - 1) / 2.0) / stride
+
+
+def heatmap_to_image_coords(coords_hm: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Heatmap coords -> image-pixel coords (pixel-center convention)."""
+    return coords_hm * stride + (stride - 1) / 2.0
+
 
 def render_gaussian_heatmaps(
     joints_hm: jnp.ndarray,
@@ -107,4 +124,4 @@ def heatmap_to_coords(
         # hard clip keeps border peaks sensible.
         coords_hm = coords_hm + jnp.clip(sel, -1.0, 1.0)
 
-    return coords_hm * stride + (stride - 1) / 2.0
+    return heatmap_to_image_coords(coords_hm, stride)

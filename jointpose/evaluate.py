@@ -26,8 +26,7 @@ import numpy as np
 from jointpose import skeleton
 from jointpose.configs import Config
 from jointpose.data.pipeline import Dataset
-from jointpose.data.targets import heatmap_to_coords
-from jointpose.ops.heatmaps import spatial_softmax
+from jointpose.ops.heatmaps import decode_probs, model_probs
 
 _FLIP_PERM = jnp.asarray(skeleton.FLIP_PERM, dtype=jnp.int32)
 
@@ -72,7 +71,13 @@ def pdj_counts(
     """
     dist = jnp.linalg.norm(pred_xy - gt_xy, axis=-1)  # (B, K)
     torso = torso_diameter(gt_xy)[:, None]  # (B, 1)
-    vis = visible.astype(jnp.float32)
+    # Examples whose torso endpoints aren't both annotated have no valid
+    # normalizer (missing joints sit at (0,0) -> a bogus huge torso that
+    # would count everything as detected): exclude them entirely.
+    li = skeleton.JOINT_INDEX[skeleton.TORSO_PAIR[0]]
+    ri = skeleton.JOINT_INDEX[skeleton.TORSO_PAIR[1]]
+    torso_ok = (visible[:, li] * visible[:, ri]).astype(jnp.float32)[:, None]
+    vis = visible.astype(jnp.float32) * torso_ok
     ok = dist[None] <= thresholds[:, None, None] * torso[None]  # (T, B, K)
     detected = jnp.sum(ok.astype(jnp.float32) * vis[None], axis=1)  # (T, K)
     return detected, jnp.sum(vis, axis=0)
@@ -86,9 +91,7 @@ def make_eval_step(
     thr = jnp.asarray(thresholds, jnp.float32)
 
     def heatmap_probs(params, images):
-        out = apply_fn(params, images)
-        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
-        return spatial_softmax(scores)
+        return model_probs(apply_fn(params, images))
 
     @jax.jit
     def eval_step(params, batch):
@@ -96,7 +99,7 @@ def make_eval_step(
         if config.eval_flip_tta:
             flipped = heatmap_probs(params, flip_images(batch["image"]))
             probs = 0.5 * (probs + unflip_heatmaps(flipped))
-        pred = heatmap_to_coords(probs, stride, refine=config.decode_refine)
+        pred = decode_probs(probs, stride, refine=config.decode_refine)
         detected, vis = pdj_counts(pred, batch["joints"], batch["visible"], thr)
         return detected, vis
 

@@ -70,5 +70,11 @@ class ProfilerHook:
             jax.profiler.stop_trace()
             self._active = False
 
+    def close(self) -> None:
+        """Terminate an in-flight trace (training ended before stop_step)."""
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
     def annotation(self, step: int):
         return jax.profiler.StepTraceAnnotation("train", step_num=step)

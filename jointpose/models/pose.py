@@ -27,12 +27,24 @@ class PoseModel(nn.Module):
     mrf_message_pass: Callable[..., jnp.ndarray] | None = None
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> dict[str, Any]:
+    def __call__(
+        self, images: jnp.ndarray, freeze_detector: bool = False
+    ) -> dict[str, Any]:
+        """Forward pass.
+
+        ``freeze_detector=True`` stops gradients at the detector logits
+        (BASELINE config 3: the spatial model trains on fixed unaries),
+        letting XLA elide the detector backward pass entirely.
+        """
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         logits = Detector(
             cfg.detector, cfg.num_joints, dtype=dtype, name="detector"
         )(images)
+        if freeze_detector:
+            import jax
+
+            logits = jax.lax.stop_gradient(logits)
         out: dict[str, Any] = {"detector_logits": logits}
         if cfg.mrf is not None:
             if cfg.mrf.normalize_input:

@@ -25,10 +25,9 @@ import numpy as np
 from jointpose import skeleton
 from jointpose.configs import Config, get_config
 from jointpose.data.pipeline import make_dataset
-from jointpose.data.targets import heatmap_to_coords
 from jointpose.evaluate import flip_images, unflip_heatmaps
 from jointpose.models.pose import PoseModel
-from jointpose.ops.heatmaps import spatial_softmax
+from jointpose.ops.heatmaps import decode_probs, model_probs
 
 
 def build_predictor(config: Config, params):
@@ -37,16 +36,14 @@ def build_predictor(config: Config, params):
     stride = config.data.heatmap_stride
 
     def probs_fn(images):
-        out = model.apply(params, images)
-        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
-        return spatial_softmax(scores)
+        return model_probs(model.apply(params, images))
 
     @jax.jit
     def predict(images):
         probs = probs_fn(images)
         if config.eval_flip_tta:
             probs = 0.5 * (probs + unflip_heatmaps(probs_fn(flip_images(images))))
-        coords = heatmap_to_coords(probs, stride, refine=config.decode_refine)
+        coords = decode_probs(probs, stride, refine=config.decode_refine)
         return coords, probs
 
     return predict

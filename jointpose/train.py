@@ -93,7 +93,11 @@ def create_state(config: Config, model: PoseModel, rng: jax.Array) -> TrainState
 
 
 def _render_targets(config: Config, joints_xy, visible):
-    joints_hm = joints_xy / config.data.heatmap_stride
+    from jointpose.data.targets import image_to_heatmap_coords
+
+    # Pixel-center convention — must match heatmap_to_coords' decode, or
+    # every prediction carries a systematic (stride-1)/2 px bias.
+    joints_hm = image_to_heatmap_coords(joints_xy, config.data.heatmap_stride)
     kw = dict(
         heatmap_hw=config.heatmap_hw, sigma=config.data.sigma
     )
@@ -121,7 +125,9 @@ def make_train_step(
     augment = config.augment.enabled
 
     def loss_fn(params, apply_fn, images, targets, visible):
-        out = apply_fn({"params": params}, images)
+        # freeze_detector stops gradients at the detector logits inside
+        # the model, so XLA drops the (dominant) detector backward pass.
+        out = apply_fn({"params": params}, images, freeze_detector=freeze_detector)
         det = heatmap_loss(
             config.train.detector_loss, out["detector_logits"], targets, visible
         )
@@ -258,13 +264,18 @@ def fit(
     # batch for step s is a pure function of (seed, s), so resume
     # continues the exact shuffled order with no iterator state to save.
     steps_per_epoch = max(train_ds.size, config.train.batch_size) // config.train.batch_size
+    _epoch_cache: dict[int, np.ndarray] = {}
 
     def indices_for_step(s: int) -> np.ndarray:
         epoch, pos = divmod(s, steps_per_epoch)
-        order = np.arange(
-            max(train_ds.size, config.train.batch_size), dtype=np.int32
-        ) % train_ds.size
-        np.random.default_rng(config.train.seed + epoch).shuffle(order)
+        order = _epoch_cache.get(epoch)
+        if order is None:
+            order = np.arange(
+                max(train_ds.size, config.train.batch_size), dtype=np.int32
+            ) % train_ds.size
+            np.random.default_rng(config.train.seed + epoch).shuffle(order)
+            _epoch_cache.clear()  # only the current epoch is ever needed
+            _epoch_cache[epoch] = order
         lo = pos * config.train.batch_size
         return order[lo : lo + config.train.batch_size]
 
@@ -333,17 +344,18 @@ def fit(
 
         save_pdj_curves(final_eval, f"{workdir}/figures/pdj_curves.png")
         batch = test_ds.get_batch(jnp.arange(4, dtype=jnp.int32))
-        out = model.apply({"params": state.params}, batch["image"])
-        scores = out.get("mrf_log_heatmaps", out["detector_logits"])
-        from jointpose.ops.heatmaps import spatial_softmax
+        from jointpose.ops.heatmaps import model_probs
 
+        out = model.apply({"params": state.params}, batch["image"])
         save_heatmap_overlays(
             np.asarray(batch["image"]),
-            np.asarray(spatial_softmax(scores)),
+            np.asarray(model_probs(out)),
             f"{workdir}/figures/heatmaps.png",
             np.asarray(batch["joints"]),
         )
 
+    if profiler is not None:
+        profiler.close()  # terminate a trace still open at loop exit
     logger.close()
     ckpt.close()
     return FitResult(state=state, metrics=final_eval, workdir=workdir)

@@ -49,3 +49,22 @@ def test_restore_specific_step(tiny_config, tmp_path):
     restored5 = ckpt.restore(state, step=5)
     assert int(restored5.step) == 5
     ckpt.close()
+
+
+def test_latest_survives_declining_metric(tiny_config, tmp_path):
+    # Regression (review finding): with a single best_fn manager, orbax
+    # deletes the NEWEST checkpoint when its metric isn't among the best,
+    # breaking crash-resume.  The dual-manager design must keep both the
+    # latest step and the best step.
+    state = _state(tiny_config)
+    ckpt = Checkpointer(str(tmp_path / "ck"), keep=2)
+    for step, pdj in [(1, 0.9), (2, 0.8), (3, 0.5), (4, 0.4)]:
+        ckpt.save(step, state.replace(step=jnp.asarray(step)),
+                  metrics={"pdj_at_05_wrist_elbow": pdj})
+    assert ckpt.latest_step() == 4, "latest checkpoint was deleted"
+    assert ckpt.best_step() == 1
+    restored = ckpt.restore(_state(tiny_config, seed=9))
+    assert int(restored.step) == 4
+    best = ckpt.restore(_state(tiny_config, seed=9), step=ckpt.best_step())
+    assert int(best.step) == 1
+    ckpt.close()

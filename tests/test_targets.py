@@ -83,3 +83,23 @@ def test_refined_decode_exact_at_integer_peaks():
     plain = np.asarray(heatmap_to_coords(hm, stride))
     refined = np.asarray(heatmap_to_coords(hm, stride, refine=True))
     np.testing.assert_allclose(refined, plain, atol=0.3)
+
+
+def test_render_decode_convention_roundtrip_unbiased():
+    # Regression (review finding): rendering targets for ground-truth
+    # image coords and decoding them back must be bias-free — a perfect
+    # model's predictions should sit on the ground truth, not
+    # +(stride-1)/2 px off.
+    from jointpose.data.targets import image_to_heatmap_coords
+
+    stride = 4
+    rs = np.random.RandomState(3)
+    joints_img = jnp.asarray(rs.uniform(20, 70, (16, 5, 2)), jnp.float32)
+    vis = jnp.ones((16, 5))
+    joints_hm = image_to_heatmap_coords(joints_img, stride)
+    hm = render_gaussian_heatmaps(joints_hm, vis, (24, 32), sigma=1.5)
+    decoded = np.asarray(heatmap_to_coords(hm, stride, refine=True))
+    bias = (decoded - np.asarray(joints_img)).mean(axis=(0, 1))
+    assert np.abs(bias).max() < 0.25, f"systematic bias {bias}"
+    err = np.linalg.norm(decoded - np.asarray(joints_img), axis=-1).mean()
+    assert err < 1.5, err
