@@ -327,7 +327,9 @@ def fit(
                 state, metrics = step_fns[stage](state, batch)
         else:
             state, metrics = step_fns[stage](state, batch)
-        step = int(state.step)
+        # Host-side step counter: int(state.step) would block on the
+        # device result every iteration, serializing dispatch.
+        step += 1
 
         if step % config.train.log_every == 0 or step == total_steps:
             now = time.time()
