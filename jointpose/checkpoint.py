@@ -36,9 +36,14 @@ class Checkpointer:
         latest_dir = (
             self.directory if legacy_steps else os.path.join(self.directory, "latest")
         )
+        # In legacy mode nothing is ever deleted: the old single-manager
+        # layout may hold a kept-best step that a keep-last-N policy
+        # would garbage-collect on the next save.
         self._latest = ocp.CheckpointManager(
             latest_dir,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=None if legacy_steps else keep, create=True
+            ),
         )
         self._best = ocp.CheckpointManager(
             os.path.join(self.directory, "best"),

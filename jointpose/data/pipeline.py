@@ -69,21 +69,28 @@ def make_dataset(cfg: DataConfig) -> tuple[Dataset, Dataset]:
     raise ValueError(f"unknown data source {cfg.source!r}")
 
 
+def epoch_order(
+    n: int, batch_size: int, rng: np.random.Generator | None = None
+) -> np.ndarray:
+    """One epoch's example order, wrapped up to at least one batch.
+
+    When the split is smaller than a batch, indices wrap (sampling with
+    replacement within the epoch) so tiny test configs still train.
+    """
+    order = np.arange(max(n, batch_size), dtype=np.int32) % n
+    if rng is not None:
+        rng.shuffle(order)
+    return order
+
+
 def batch_iterator(
     dataset: Dataset,
     batch_size: int,
     rng: np.random.Generator | None = None,
     drop_remainder: bool = True,
 ) -> Iterator[jnp.ndarray]:
-    """Yield index arrays for one epoch (shuffled when ``rng`` is given).
-
-    When the split is smaller than a batch, indices wrap (sampling with
-    replacement within the epoch) so tiny test configs still train.
-    """
-    n = dataset.size
-    order = np.arange(max(n, batch_size), dtype=np.int32) % n
-    if rng is not None:
-        rng.shuffle(order)
+    """Yield index arrays for one epoch (shuffled when ``rng`` is given)."""
+    order = epoch_order(dataset.size, batch_size, rng)
     end = len(order) if drop_remainder else len(order) + batch_size - 1
     for start in range(0, end - batch_size + 1, batch_size):
         yield jnp.asarray(order[start : start + batch_size])

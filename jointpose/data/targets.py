@@ -96,19 +96,37 @@ def heatmap_to_coords(
             (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
         ]
         rolled = lambda dy, dx: jnp.roll(h, (-dy, -dx), axis=(-3, -2))
+        # Border masks: jnp.roll wraps, which would mix the opposite edge
+        # into border-cell neighborhoods (a measured ~2-4px error on
+        # edge peaks).  valid(dy, dx) marks cells whose (y+dy, x+dx)
+        # neighbor actually exists; wrapped neighbors get zero weight and
+        # are excluded from the local-min floor.
+        yy = jnp.arange(hm_h).reshape(
+            (1,) * (h.ndim - 3) + (hm_h, 1, 1)
+        )
+        xx = jnp.arange(hm_w).reshape(
+            (1,) * (h.ndim - 3) + (1, hm_w, 1)
+        )
+
+        def valid(dy, dx):
+            vy = (yy + dy >= 0) & (yy + dy < hm_h)
+            vx = (xx + dx >= 0) & (xx + dx < hm_w)
+            return (vy & vx).astype(jnp.float32)
+
         # Value-weighted centroid (heatmaps are probabilities/Gaussians);
-        # values are floored at zero relative to the local minimum so
-        # log-space inputs also behave.  Folded sums keep peak memory at
-        # one heatmap copy (no 9-wide stacked intermediate).
+        # values are floored at zero relative to the local minimum over
+        # VALID neighbors so log-space inputs also behave.  Folded sums
+        # keep peak memory at one heatmap copy.
         m = h
         for dy, dx in shifts:
             if (dy, dx) != (0, 0):
-                m = jnp.minimum(m, rolled(dy, dx))
+                r = rolled(dy, dx)
+                m = jnp.minimum(m, jnp.where(valid(dy, dx) > 0, r, h))
         den = jnp.zeros_like(h)
         num_x = jnp.zeros_like(h)
         num_y = jnp.zeros_like(h)
         for dy, dx in shifts:
-            wgt = rolled(dy, dx) - m
+            wgt = (rolled(dy, dx) - m) * valid(dy, dx)
             den = den + wgt
             num_x = num_x + dx * wgt
             num_y = num_y + dy * wgt
@@ -120,8 +138,16 @@ def heatmap_to_coords(
         sel = jnp.take_along_axis(
             flat_delta, idx[..., None, :, None].astype(jnp.int32), axis=-3
         )[..., 0, :, :]  # (..., K, 2)
-        # Rolled neighbors wrap at borders; the offset stays bounded so a
-        # hard clip keeps border peaks sensible.
-        coords_hm = coords_hm + jnp.clip(sel, -1.0, 1.0)
+        # A peak sitting ON the border sees only a half-window, whose
+        # centroid is inherently pulled inward — the unrefined coordinate
+        # is more accurate there, so zero that axis' offset.
+        x_interior = (
+            (coords_hm[..., 0] > 0) & (coords_hm[..., 0] < hm_w - 1)
+        ).astype(jnp.float32)
+        y_interior = (
+            (coords_hm[..., 1] > 0) & (coords_hm[..., 1] < hm_h - 1)
+        ).astype(jnp.float32)
+        interior = jnp.stack([x_interior, y_interior], axis=-1)
+        coords_hm = coords_hm + jnp.clip(sel, -1.0, 1.0) * interior
 
     return heatmap_to_image_coords(coords_hm, stride)

@@ -94,7 +94,7 @@ def make_eval_step(
         return model_probs(apply_fn(params, images))
 
     @jax.jit
-    def eval_step(params, batch):
+    def _step(params, batch):
         probs = heatmap_probs(params, batch["image"])
         if config.eval_flip_tta:
             flipped = heatmap_probs(params, flip_images(batch["image"]))
@@ -103,6 +103,12 @@ def make_eval_step(
         detected, vis = pdj_counts(pred, batch["joints"], batch["visible"], thr)
         return detected, vis
 
+    def eval_step(params, batch):
+        return _step(params, batch)
+
+    # Recorded so evaluate() can reject a prebuilt step whose thresholds
+    # disagree with the labels it would report them under.
+    eval_step.thresholds = tuple(float(t) for t in thresholds)
     return eval_step
 
 
@@ -121,6 +127,11 @@ def evaluate(
     calling repeatedly — each ``make_eval_step`` closure is a fresh jit
     cache entry, so rebuilding per call recompiles the forward pass.
     """
+    if eval_step is not None and hasattr(eval_step, "thresholds"):
+        assert eval_step.thresholds == tuple(float(t) for t in thresholds), (
+            "prebuilt eval_step was built with different thresholds than "
+            "the labels requested here"
+        )
     eval_step = eval_step or make_eval_step(config, apply_fn, thresholds)
     batch = config.train.batch_size
     detected = np.zeros((len(thresholds), skeleton.NUM_JOINTS))
@@ -129,15 +140,18 @@ def evaluate(
     # (keeping the jitted batch shape static) and the padded duplicates
     # are masked out through `visible`, so every example counts once.
     n = dataset.size
+    examples_seen = 0
     for i, start in enumerate(range(0, n, batch)):
         if max_batches is not None and i >= max_batches:
             break
         idx = (np.arange(start, start + batch, dtype=np.int32)) % n
         got = dataset.get_batch(jnp.asarray(idx))
+        real = min(batch, n - start)
         if start + batch > n:
             mask = (np.arange(start, start + batch) < n).astype(np.float32)
             got = dict(got)
             got["visible"] = got["visible"] * jnp.asarray(mask)[:, None]
+        examples_seen += real
         d, v = eval_step(params, got)
         detected += np.asarray(d)
         visible += np.asarray(v)
@@ -155,5 +169,8 @@ def evaluate(
         "pdj_curves": curves.tolist(),  # (T, K)
         "pdj_at_05": per_joint_05,
         "pdj_at_05_wrist_elbow": headline,
-        "num_examples": float(visible.max()),
+        # Examples processed; torso-less examples are excluded from the
+        # curves but still counted here (see num_torso_excluded).
+        "num_examples": float(examples_seen),
+        "num_torso_excluded": float(examples_seen - visible.max()),
     }

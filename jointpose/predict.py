@@ -65,6 +65,12 @@ def restore_params(
     ckpt = Checkpointer(checkpoint_dir, keep=1)
     if best and step is None:
         step = ckpt.best_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no best checkpoint recorded under {checkpoint_dir} (run "
+                "crashed before the first eval, or legacy layout); pass an "
+                "explicit step or best=False for the latest"
+            )
     state = ckpt.restore(template, step=step)
     ckpt.close()
     return {"params": state.params}, int(state.step)

@@ -263,17 +263,20 @@ def fit(
     # Deterministic dataset position (SURVEY §5 checkpoint/resume): the
     # batch for step s is a pure function of (seed, s), so resume
     # continues the exact shuffled order with no iterator state to save.
-    steps_per_epoch = max(train_ds.size, config.train.batch_size) // config.train.batch_size
+    from jointpose.data.pipeline import epoch_order, epoch_steps
+
+    steps_per_epoch = epoch_steps(train_ds, config.train.batch_size)
     _epoch_cache: dict[int, np.ndarray] = {}
 
     def indices_for_step(s: int) -> np.ndarray:
         epoch, pos = divmod(s, steps_per_epoch)
         order = _epoch_cache.get(epoch)
         if order is None:
-            order = np.arange(
-                max(train_ds.size, config.train.batch_size), dtype=np.int32
-            ) % train_ds.size
-            np.random.default_rng(config.train.seed + epoch).shuffle(order)
+            order = epoch_order(
+                train_ds.size,
+                config.train.batch_size,
+                np.random.default_rng(config.train.seed + epoch),
+            )
             _epoch_cache.clear()  # only the current epoch is ever needed
             _epoch_cache[epoch] = order
         lo = pos * config.train.batch_size
