@@ -288,16 +288,27 @@ def fit(
 
     from jointpose.evaluate import make_eval_step
 
-    eval_step_fn = make_eval_step(config, model.apply)
+    def detector_only_apply(variables, images):
+        return {"detector_logits": model.apply(variables, images)["detector_logits"]}
+
+    # Before the MRF is prior-initialized its uniform kernels box-blur
+    # the unaries into a near-uniform field — evaluating through it says
+    # nothing about the detector.  Use the detector head until the joint
+    # stage begins.
+    eval_steps = {
+        "detector": make_eval_step(config, detector_only_apply),
+        "joint": make_eval_step(config, model.apply),
+    }
 
     def run_eval(step: int) -> dict:
+        stage_now = "detector" if step <= det_steps else "joint"
         ev = evaluate(
             {"params": state.params},
             test_ds,
             config,
             model.apply,
             max_batches=eval_max_batches,
-            eval_step=eval_step_fn,
+            eval_step=eval_steps[stage_now],
         )
         logger.log(
             step,
