@@ -13,6 +13,10 @@ tests (SURVEY §7 hard-parts #3).
 
 Everything here is batched XLA; the per-batch forward+decode is jitted
 once and reused.
+
+CLI (the reference's eval mode):
+  python -m jointpose.evaluate --config eval_tta \
+      --checkpoint runs/joint/checkpoints [--best] [--split test] [--curves out.png]
 """
 
 from __future__ import annotations
@@ -174,3 +178,52 @@ def evaluate(
         "num_examples": float(examples_seen),
         "num_torso_excluded": float(examples_seen - visible.max()),
     }
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description="jointpose PDJ evaluation")
+    parser.add_argument("--config", default="eval_tta")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--best", action="store_true")
+    parser.add_argument("--split", choices=["train", "test"], default="test")
+    parser.add_argument("--max-batches", type=int, default=None)
+    parser.add_argument("--curves", default=None,
+                        help="write the PDJ-curve figure to this PNG path")
+    parser.add_argument("--json-out", default=None,
+                        help="write the full metrics dict to this JSON path")
+    args = parser.parse_args(argv)
+
+    from jointpose.configs import get_config
+    from jointpose.data.pipeline import make_dataset
+    from jointpose.models.pose import PoseModel
+    from jointpose.predict import restore_params
+
+    config = get_config(args.config)
+    params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
+    train_ds, test_ds = make_dataset(config.data)
+    ds = train_ds if args.split == "train" else test_ds
+    model = PoseModel(config)
+    ev = evaluate(params, ds, config, model.apply, max_batches=args.max_batches)
+
+    print(f"checkpoint step {step}, {args.split} split, "
+          f"{int(ev['num_examples'])} examples")
+    for name, v in ev["pdj_at_05"].items():
+        print(f"  PDJ@0.05 {name:>5}: {v:.4f}")
+    print(f"  PDJ@0.05 wrist/elbow: {ev['pdj_at_05_wrist_elbow']:.4f}")
+    if args.curves:
+        from jointpose.visualize import save_pdj_curves
+
+        save_pdj_curves(ev, args.curves)
+        print(f"curves -> {args.curves}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(ev, f, indent=1)
+        print(f"metrics -> {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()
