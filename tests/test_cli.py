@@ -1,0 +1,83 @@
+"""Smoke tests for the user-facing CLIs (train/evaluate/predict mains)."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+    from jointpose.configs import get_config
+    from jointpose.train import fit
+
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        augment=dataclasses.replace(cfg.augment, enabled=False),
+        train=dataclasses.replace(
+            cfg.train, detector_steps=15, joint_steps=10, eval_every=25,
+        ),
+    )
+    workdir = str(tmp_path_factory.mktemp("run"))
+    fit(cfg, workdir, eval_max_batches=1)
+    return workdir
+
+
+def test_evaluate_cli(trained_workdir, tmp_path, capsys):
+    from jointpose.evaluate import main
+
+    json_out = str(tmp_path / "m.json")
+    main([
+        "--config", "tiny", "--checkpoint", f"{trained_workdir}/checkpoints",
+        "--max-batches", "1", "--json-out", json_out,
+        "--curves", str(tmp_path / "c.png"),
+    ])
+    out = capsys.readouterr().out
+    assert "PDJ@0.05 wrist/elbow" in out
+    metrics = json.load(open(json_out))
+    assert "pdj_curves" in metrics and len(metrics["thresholds"]) == 21
+    assert os.path.getsize(tmp_path / "c.png") > 1000
+
+
+def test_evaluate_cli_best(trained_workdir, capsys):
+    from jointpose.evaluate import main
+
+    main([
+        "--config", "tiny", "--checkpoint", f"{trained_workdir}/checkpoints",
+        "--best", "--max-batches", "1",
+    ])
+    assert "checkpoint step" in capsys.readouterr().out
+
+
+def test_predict_cli(trained_workdir, tmp_path, capsys):
+    from jointpose.predict import main
+
+    main([
+        "--config", "tiny", "--checkpoint", f"{trained_workdir}/checkpoints",
+        "--workdir", str(tmp_path), "--num", "3", "--batch-size", "2",
+    ])
+    lines = [json.loads(l) for l in open(tmp_path / "predictions.jsonl")]
+    assert len(lines) == 3
+    assert set(lines[0]["joints"]) == {
+        "nose", "lsho", "rsho", "lelb", "relb", "lwri", "rwri", "lhip", "rhip"
+    }
+
+
+def test_predict_cli_best_missing_raises(tmp_path):
+    # A checkpoint dir with no recorded best must fail loudly, not fall
+    # back silently (review finding).
+    from jointpose.checkpoint import Checkpointer
+    from jointpose.configs import get_config
+    from jointpose.models.pose import PoseModel
+    from jointpose.predict import restore_params
+    from jointpose.train import create_state
+
+    cfg = get_config("tiny")
+    ckdir = str(tmp_path / "ck")
+    ck = Checkpointer(ckdir, keep=1)
+    ck.save(0, create_state(cfg, PoseModel(cfg), jax.random.PRNGKey(0)))
+    ck.close()
+    with pytest.raises(FileNotFoundError, match="no best checkpoint"):
+        restore_params(cfg, ckdir, best=True)
