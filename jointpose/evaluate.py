@@ -63,7 +63,7 @@ def pdj_counts(
     gt_xy: jnp.ndarray,
     visible: jnp.ndarray,
     thresholds: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detection counts for a batch.
 
     Args:
@@ -71,7 +71,11 @@ def pdj_counts(
       visible: (B, K).
       thresholds: (T,) PDJ thresholds (fractions of torso diameter).
     Returns:
-      (detected (T, K) counts, visible (K,) counts).
+      (detected (T, K) counts, visible (K,) counts, torso-valid example
+      count () — examples whose torso endpoints are both annotated;
+      tracked explicitly per example because inferring it from per-joint
+      visible counts conflates joint occlusion with torso exclusion on
+      mixed-visibility data like real FLIC).
     """
     dist = jnp.linalg.norm(pred_xy - gt_xy, axis=-1)  # (B, K)
     torso = torso_diameter(gt_xy)[:, None]  # (B, 1)
@@ -84,7 +88,7 @@ def pdj_counts(
     vis = visible.astype(jnp.float32) * torso_ok
     ok = dist[None] <= thresholds[:, None, None] * torso[None]  # (T, B, K)
     detected = jnp.sum(ok.astype(jnp.float32) * vis[None], axis=1)  # (T, K)
-    return detected, jnp.sum(vis, axis=0)
+    return detected, jnp.sum(vis, axis=0), jnp.sum(torso_ok)
 
 
 def make_eval_step(
@@ -104,8 +108,7 @@ def make_eval_step(
             flipped = heatmap_probs(params, flip_images(batch["image"]))
             probs = 0.5 * (probs + unflip_heatmaps(flipped))
         pred = decode_probs(probs, stride, refine=config.decode_refine)
-        detected, vis = pdj_counts(pred, batch["joints"], batch["visible"], thr)
-        return detected, vis
+        return pdj_counts(pred, batch["joints"], batch["visible"], thr)
 
     def eval_step(params, batch):
         return _step(params, batch)
@@ -145,6 +148,7 @@ def evaluate(
     # are masked out through `visible`, so every example counts once.
     n = dataset.size
     examples_seen = 0
+    torso_seen = 0.0
     for i, start in enumerate(range(0, n, batch)):
         if max_batches is not None and i >= max_batches:
             break
@@ -156,9 +160,10 @@ def evaluate(
             got = dict(got)
             got["visible"] = got["visible"] * jnp.asarray(mask)[:, None]
         examples_seen += real
-        d, v = eval_step(params, got)
+        d, v, t = eval_step(params, got)
         detected += np.asarray(d)
         visible += np.asarray(v)
+        torso_seen += float(t)
     curves = detected / np.maximum(visible[None], 1.0)  # (T, K)
     thresholds_np = np.asarray(thresholds)
     t05 = int(np.argmin(np.abs(thresholds_np - 0.05)))
@@ -176,7 +181,7 @@ def evaluate(
         # Examples processed; torso-less examples are excluded from the
         # curves but still counted here (see num_torso_excluded).
         "num_examples": float(examples_seen),
-        "num_torso_excluded": float(examples_seen - visible.max()),
+        "num_torso_excluded": float(examples_seen - torso_seen),
     }
 
 
@@ -191,6 +196,15 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--best", action="store_true")
     parser.add_argument("--split", choices=["train", "test"], default="test")
     parser.add_argument("--max-batches", type=int, default=None)
+    # TTA / decode-refinement overrides: any preset's checkpoints can be
+    # evaluated with or without flip TTA and sub-pixel refinement — the
+    # model architecture (and so checkpoint shapes) is independent of
+    # both, so e.g. the flagship headline number (flagship + --tta) is
+    # reproducible here without an architecture-mismatched preset.
+    parser.add_argument("--tta", action=argparse.BooleanOptionalAction, default=None,
+                        help="override the preset's eval_flip_tta")
+    parser.add_argument("--refine", action=argparse.BooleanOptionalAction, default=None,
+                        help="override the preset's decode_refine")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -203,6 +217,10 @@ def main(argv: list[str] | None = None) -> None:
     from jointpose.predict import restore_params
 
     config = get_config(args.config)
+    if args.tta is not None:
+        config = config.replace(eval_flip_tta=args.tta)
+    if args.refine is not None:
+        config = config.replace(decode_refine=args.refine)
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds

@@ -310,8 +310,13 @@ def fit(
             max_batches=eval_max_batches,
             eval_step=eval_steps[stage_now],
         )
+        # Record which graph produced the score: detector-stage evals run
+        # the detector-only head (the MRF is uninitialized there), so
+        # their PDJ says nothing about the full CNN+MRF model.
+        ev["eval_stage"] = stage_now
         logger.log(
             step,
+            eval_stage=stage_now,
             pdj_at_05_wrist_elbow=ev["pdj_at_05_wrist_elbow"],
             **{f"pdj05/{k}": v for k, v in ev["pdj_at_05"].items()},
         )
@@ -353,7 +358,14 @@ def fit(
                        **{k: float(v) for k, v in metrics.items()})
         if step % config.train.eval_every == 0 or step == total_steps:
             final_eval = run_eval(step)
-            ckpt.save(step, state, metrics=final_eval)
+            # Only full-model scores may rank the keep-best checkpoint:
+            # a detector-stage PDJ (scored on the detector head) attached
+            # to a checkpoint holding an uninitialized MRF would let
+            # serve.py --best silently serve near-uniform MRF output
+            # under a high recorded score.  Without an MRF the detector
+            # head IS the full model, so every eval qualifies.
+            is_full_model = config.mrf is None or final_eval["eval_stage"] == "joint"
+            ckpt.save(step, state, metrics=final_eval if is_full_model else None)
 
     if final_eval and save_figures:
         from jointpose.visualize import save_heatmap_overlays, save_pdj_curves

@@ -47,6 +47,28 @@ def test_fit_runs_stages_and_logs(tmp_path):
     assert losses[-1] < losses[0]
 
 
+def test_best_checkpoint_only_ranks_full_model_scores(tmp_path):
+    # Detector-stage evals score the detector-only head, but a checkpoint
+    # saved then holds an uninitialized MRF: it must never enter the
+    # keep-best manager, or serve.py --best would serve near-uniform MRF
+    # output under a high recorded PDJ (round-1 advisor finding).
+    from jointpose.checkpoint import Checkpointer
+
+    cfg = _tiny_fit_config()  # detector_steps=40, eval_every=20
+    fit(cfg, str(tmp_path), eval_max_batches=1)
+    ckpt = Checkpointer(os.path.join(str(tmp_path), cfg.train.checkpoint_dir))
+    best = ckpt.best_step()
+    ckpt.close()
+    assert best is not None and best > cfg.train.detector_steps, best
+    # JSONL records which graph each eval scored.
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    ]
+    stages = {rec["step"]: rec["eval_stage"] for rec in lines if "eval_stage" in rec}
+    assert stages[20] == "detector" and stages[60] == "joint"
+
+
 def test_fit_resume_continues_from_checkpoint(tmp_path):
     cfg = _tiny_fit_config()
     fit(cfg, str(tmp_path), eval_max_batches=1)

@@ -65,11 +65,68 @@ def test_pdj_counts_thresholding():
     pred[:, :, 0] += 6.0  # all joints off by 6 px = 0.06 torso
     vis = jnp.ones((1, K))
     thr = jnp.asarray([0.05, 0.1], jnp.float32)
-    detected, visible = pdj_counts(jnp.asarray(pred), jnp.asarray(gt), vis, thr)
+    detected, visible, torso = pdj_counts(jnp.asarray(pred), jnp.asarray(gt), vis, thr)
     d = np.asarray(detected)
     np.testing.assert_allclose(d[0], 0.0)  # 6px > 5px
     np.testing.assert_allclose(d[1], 1.0)  # 6px <= 10px
     np.testing.assert_allclose(np.asarray(visible), 1.0)
+    np.testing.assert_allclose(float(torso), 1.0)
+
+
+def test_pdj_counts_mixed_visibility():
+    # Real-FLIC regime (VERDICT r1 weak #8): some joints occluded, some
+    # examples torso-less.  The torso-valid count must track EXAMPLES,
+    # not be inferred from per-joint visible counts.
+    rs = np.random.RandomState(1)
+    gt = rs.uniform(10, 90, (4, K, 2)).astype(np.float32)
+    pred = gt.copy()
+    vis = np.ones((4, K), np.float32)
+    li = skeleton.JOINT_INDEX["lsho"]
+    ri = skeleton.JOINT_INDEX["rhip"]
+    # Example 0: a non-torso joint occluded -> still torso-valid.
+    other = next(j for j in range(K) if j not in (li, ri))
+    vis[0, other] = 0.0
+    # Example 2: torso endpoint missing -> excluded entirely.
+    vis[2, li] = 0.0
+    thr = jnp.asarray([0.1], jnp.float32)
+    detected, visible, torso = pdj_counts(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(vis), thr
+    )
+    assert float(torso) == 3.0  # examples 0, 1, 3
+    # The occluded joint's visible count: 2 valid examples (1, 3) plus
+    # none from example 0 (occluded) or 2 (torso-less).
+    assert float(np.asarray(visible)[other]) == 2.0
+    # Perfect predictions: detected == visible everywhere.
+    np.testing.assert_allclose(np.asarray(detected)[0], np.asarray(visible))
+
+
+def test_evaluate_reports_exact_torso_exclusions(tiny_config):
+    # End-to-end: occlude one NON-torso joint in every test example via a
+    # wrapped dataset; num_torso_excluded must stay 0 (the old
+    # visible.max()-based accounting would misreport it as the full split).
+    import jax
+    from jointpose.data.pipeline import Dataset, make_dataset
+    from jointpose.evaluate import evaluate
+    from jointpose.models.pose import PoseModel
+
+    cfg = tiny_config.replace(mrf=None)
+    _, test_ds = make_dataset(cfg.data)
+    occluded = next(
+        j for j in range(K)
+        if j not in (skeleton.JOINT_INDEX["lsho"], skeleton.JOINT_INDEX["rhip"])
+    )
+
+    def get_batch(indices):
+        got = dict(test_ds.get_batch(indices))
+        got["visible"] = got["visible"].at[:, occluded].set(0.0)
+        return got
+
+    ds = Dataset(size=test_ds.size, get_batch=get_batch)
+    model = PoseModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *cfg.data.image_hw, 3)))
+    ev = evaluate(params, ds, cfg, model.apply)
+    assert ev["num_examples"] == test_ds.size
+    assert ev["num_torso_excluded"] == 0.0
 
 
 def test_flip_tta_roundtrip_recovers_heatmaps():
