@@ -6,7 +6,24 @@ flagship config in steady state — compile excluded, timed over repeated
 batches (SURVEY §4 perf harness).  Baseline target: >=10,000
 images/sec/chip (BASELINE.json:5).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+SELF-CALIBRATION (round-2 fix): on this rig the device is reached
+through the axon relay, which acknowledges dispatches before compute
+completes — wall-clock through it can overstate throughput by orders of
+magnitude (round 1 recorded 571k img/s ≈ 4.2 EFLOP/s on one chip, 25x
+over the bf16 roofline).  The bench therefore times an in-process probe
+of KNOWN FLOPs (a jitted bf16 matmul) with the *identical* timing loop;
+if the apparent probe FLOP/s exceeds the chip's peak, the wall clock is
+physically impossible and is reported as invalid — the headline value
+then falls back to the compiled-program cost-analysis roofline bound
+(peak * assumed MXU utilization / FLOPs-per-image), explicitly labeled
+model-derived.  Both numbers + a ``plausible`` flag are emitted.
+
+The JSON line also carries an ON-DEVICE PARITY check of the fused
+Pallas MRF path against the pure-XLA oracle (SURVEY §4 numerics tests):
+a Mosaic lowering bug would pass the CPU interpret-mode test suite, so
+this is the driver-visible compiled-on-real-hardware check each round.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -22,6 +39,13 @@ from jointpose.models.pose import PoseModel
 from jointpose.ops.heatmaps import decode_probs, model_probs
 
 BASELINE_IMAGES_PER_SEC = 10_000.0
+# TPU v5 lite (v5e-class) peak: ~197 TFLOP/s bf16, ~819 GB/s HBM.
+PEAK_BF16_FLOPS = 197e12
+# Conservative sustained MXU fraction for conv-dominated programs; used
+# only for the model-derived fallback and documented in BASELINE.md.
+ASSUMED_MXU_UTIL = 0.60
+# Wall-clock is declared impossible above this fraction of peak.
+PLAUSIBILITY_MARGIN = 1.25
 
 
 def build_inference_fn(config):
@@ -38,6 +62,73 @@ def build_inference_fn(config):
     return model, jax.jit(forward)
 
 
+def _timed_rate(fn, *args, warmup: int, iters: int) -> float:
+    """Steady-state calls/sec with per-iteration block_until_ready."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fn(*args))
+    return iters / (time.perf_counter() - t0)
+
+
+def _cost_analysis_flops(jitted, *args) -> float:
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost["flops"])
+
+
+def probe_clock_validity(warmup: int = 2, iters: int = 10) -> dict:
+    """Time a known-FLOP bf16 matmul with the bench's own timing loop.
+
+    Returns the apparent FLOP/s and whether that is physically possible
+    on this chip.  8192^3 matmul = 1.1 TFLOP/iter: ~6 ms at peak, large
+    enough that a real clock cannot round it away.
+    """
+    n = 8192
+    x = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return a @ a
+
+    rate = _timed_rate(mm, x, warmup=warmup, iters=iters)
+    apparent = rate * 2.0 * n**3
+    return {
+        "probe_apparent_tflops": round(apparent / 1e12, 1),
+        "clock_valid": bool(apparent <= PLAUSIBILITY_MARGIN * PEAK_BF16_FLOPS),
+    }
+
+
+def pallas_parity_check(batch: int = 4) -> dict:
+    """Compiled-on-device parity: fused Pallas MRF pass vs XLA oracle.
+
+    Runs on whatever backend the bench runs on — on the driver that is
+    the real TPU chip, catching Mosaic lowering bugs the CPU
+    interpret-mode suite cannot see (round-1 verdict weak #5).
+    """
+    from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
+    from jointpose.ops.mrf_xla import mrf_message_pass_xla
+
+    k, hw, win = 9, (30, 44), (11, 15)
+    rngs = jax.random.split(jax.random.PRNGKey(7), 3)
+    p = jax.nn.softmax(
+        jax.random.normal(rngs[0], (batch, *hw, k)).reshape(batch, -1, k), axis=1
+    ).reshape(batch, *hw, k)
+    kernels = jax.nn.softplus(jax.random.normal(rngs[1], (*win, k, k)))
+    biases = jax.nn.softplus(jax.random.normal(rngs[2], (k, k)) - 4.0)
+    got = jax.jit(mrf_message_pass_pallas)(p, kernels, biases)
+    want = jax.jit(mrf_message_pass_xla)(p, kernels, biases)
+    err = float(jnp.max(jnp.abs(got - want)))
+    denom = float(jnp.max(jnp.abs(want)))
+    rel = err / max(denom, 1e-9)
+    return {
+        "pallas_parity_max_rel_err": round(rel, 8),
+        "pallas_parity_ok": bool(rel < 1e-4),
+    }
+
+
 def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     config = get_config("flagship")
     model, forward = build_inference_fn(config)
@@ -45,22 +136,38 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     images = jax.random.uniform(rng, (batch_size, *config.data.image_hw, 3), jnp.float32)
     params = model.init(rng, images[:1])
 
-    for _ in range(warmup):
-        jax.block_until_ready(forward(params, images))
+    flops_per_image = _cost_analysis_flops(forward, params, images) / batch_size
+    measured = _timed_rate(forward, params, images, warmup=warmup, iters=iters) * batch_size
 
-    # Block every iteration: with an async device relay, blocking only on
-    # the final output can under-count in-flight work.
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(forward(params, images))
-    dt = time.perf_counter() - t0
+    on_tpu = jax.default_backend() == "tpu"
+    probe = probe_clock_validity() if on_tpu else {"clock_valid": True}
+    roofline = PEAK_BF16_FLOPS * ASSUMED_MXU_UTIL / flops_per_image if on_tpu else None
 
-    images_per_sec = batch_size * iters / dt
+    # A wall clock that beats the 100%-of-peak bound for the measured
+    # program is impossible even if the probe passed.
+    clock_valid = probe["clock_valid"]
+    if on_tpu and measured * flops_per_image > PLAUSIBILITY_MARGIN * PEAK_BF16_FLOPS:
+        clock_valid = False
+
+    if clock_valid:
+        value, measurement = measured, "wall_clock"
+    else:
+        value, measurement = roofline, "cost_analysis_roofline_model"
+
     result = {
         "metric": "flic_images_per_sec_per_chip_detector_mrf_inference",
-        "value": round(images_per_sec, 1),
+        "value": round(value, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
+        "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
+        "measurement": measurement,
+        "plausible_wall_clock": bool(clock_valid),
+        "wall_clock_images_per_sec": round(measured, 1),
+        "flops_per_image": round(flops_per_image / 1e9, 3),
+        "flops_unit": "GFLOP",
+        "roofline_images_per_sec": round(roofline, 1) if roofline else None,
+        "roofline_model": f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s * {ASSUMED_MXU_UTIL} / FLOPs-per-image",
+        **{k: v for k, v in (probe.items() if on_tpu else []) if k != "clock_valid"},
+        **pallas_parity_check(),
     }
     print(json.dumps(result))
     return result
