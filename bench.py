@@ -102,12 +102,16 @@ def probe_clock_validity(warmup: int = 2, iters: int = 10) -> dict:
 
 
 def pallas_parity_check(batch: int = 4) -> dict:
-    """Compiled-on-device parity: fused Pallas MRF pass vs XLA oracle.
+    """Compiled-on-device parity: fused Pallas + Fourier MRF passes vs
+    the XLA grouped-conv oracle.
 
     Runs on whatever backend the bench runs on — on the driver that is
     the real TPU chip, catching Mosaic lowering bugs the CPU
     interpret-mode suite cannot see (round-1 verdict weak #5).
     """
+    import jax.lax as lax
+
+    from jointpose.ops.mrf_fft import mrf_message_pass_fft
     from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
     from jointpose.ops.mrf_xla import mrf_message_pass_xla
 
@@ -118,14 +122,25 @@ def pallas_parity_check(batch: int = 4) -> dict:
     ).reshape(batch, *hw, k)
     kernels = jax.nn.softplus(jax.random.normal(rngs[1], (*win, k, k)))
     biases = jax.nn.softplus(jax.random.normal(rngs[2], (k, k)) - 4.0)
-    got = jax.jit(mrf_message_pass_pallas)(p, kernels, biases)
-    want = jax.jit(mrf_message_pass_xla)(p, kernels, biases)
-    err = float(jnp.max(jnp.abs(got - want)))
-    denom = float(jnp.max(jnp.abs(want)))
-    rel = err / max(denom, 1e-9)
+    want = jax.jit(
+        lambda *a: mrf_message_pass_xla(*a, precision=lax.Precision.HIGHEST)
+    )(p, kernels, biases)
+    denom = max(float(jnp.max(jnp.abs(want))), 1e-9)
+
+    def rel_err(fn):
+        # HIGHEST everywhere so the check isolates lowering bugs rather
+        # than bf16 conv rounding.
+        got = jax.jit(lambda *a: fn(*a, precision=lax.Precision.HIGHEST))(
+            p, kernels, biases
+        )
+        return float(jnp.max(jnp.abs(got - want))) / denom
+
+    rel_pallas = rel_err(mrf_message_pass_pallas)
+    rel_fft = rel_err(mrf_message_pass_fft)
     return {
-        "pallas_parity_max_rel_err": round(rel, 8),
-        "pallas_parity_ok": bool(rel < 1e-4),
+        "pallas_parity_max_rel_err": round(rel_pallas, 8),
+        "fft_parity_max_rel_err": round(rel_fft, 8),
+        "pallas_parity_ok": bool(rel_pallas < 1e-3 and rel_fft < 1e-3),
     }
 
 

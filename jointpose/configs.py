@@ -70,6 +70,13 @@ class MRFConfig:
     eps: float = 1e-6  # floor inside log() — bf16-safe (SURVEY §7 #2)
     normalize_input: bool = True  # spatial-softmax detector maps before MRF
     use_pallas: bool = True  # fused Pallas epilogue where supported
+    # Pairwise-conv implementation: 'auto' | 'xla' | 'pallas' | 'fft'.
+    # 'fft' computes the K^2 large correlations as DFT matmuls on the
+    # MXU (ops/mrf_fft.py) — ~12x fewer FLOPs than XLA's dense rewrite
+    # of the grouped conv at the paper presets' stride-1 45x67 window.
+    # 'auto' picks 'fft' for large stride-1 windows and the direct
+    # grouped conv (+ fused Pallas epilogue per use_pallas) otherwise.
+    impl: str = "auto"
     # MRF grid stride relative to the heatmap: 1 = paper-exact message
     # pass at heatmap resolution; 2 = TPU-native coarse variant — the
     # message pass runs on 2x2-pooled unaries (same physical window at

@@ -53,6 +53,28 @@ def priors_to_raw_kernels(priors: jnp.ndarray, blend: float = 0.5) -> jnp.ndarra
     return inverse_softplus(mixed)
 
 
+# Below this tap count the direct grouped conv beats the Fourier path's
+# fixed transform cost (forward/inverse DFT matmuls of 9 + 81 planes).
+_FFT_MIN_TAPS = 512
+
+
+def select_impl(config: MRFConfig) -> str:
+    """Resolve MRFConfig.impl='auto' to a concrete message-pass impl.
+
+    The Fourier path pays off for the stride-1 large-window regime
+    (paper presets: 45x67 = 3015 taps, where XLA's dense rewrite of the
+    grouped conv costs ~24x the Fourier matmuls); the coarse stride>1
+    grids and small test windows stay on the direct conv.
+    """
+    if config.impl != "auto":
+        assert config.impl in ("xla", "pallas", "fft"), config.impl
+        return config.impl
+    wh, ww = config.window
+    if config.stride == 1 and wh * ww >= _FFT_MIN_TAPS:
+        return "fft"
+    return "pallas" if config.use_pallas else "xla"
+
+
 class SpatialModel(nn.Module):
     """Learned MRF over joint heatmaps.
 
@@ -92,7 +114,17 @@ class SpatialModel(nn.Module):
         biases = jax.nn.softplus(raw_bias.astype(jnp.float32))
         pass_fn = self.message_pass
         if pass_fn is None:
-            if self.config.use_pallas:
+            impl = select_impl(self.config)
+            if impl == "fft":
+                import functools
+
+                from jointpose.ops.mrf_fft import mrf_message_pass_fft
+
+                pass_fn = functools.partial(
+                    mrf_message_pass_fft,
+                    use_pallas_epilogue=self.config.use_pallas,
+                )
+            elif impl == "pallas":
                 from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
 
                 pass_fn = mrf_message_pass_pallas
