@@ -112,6 +112,7 @@ def pallas_parity_check(batch: int = 4) -> dict:
     import jax.lax as lax
 
     from jointpose.ops.mrf_fft import mrf_message_pass_fft
+    from jointpose.ops.mrf_fft_pallas import mrf_message_pass_fft_fused
     from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
     from jointpose.ops.mrf_xla import mrf_message_pass_xla
 
@@ -137,10 +138,14 @@ def pallas_parity_check(batch: int = 4) -> dict:
 
     rel_pallas = rel_err(mrf_message_pass_pallas)
     rel_fft = rel_err(mrf_message_pass_fft)
+    rel_fused = rel_err(mrf_message_pass_fft_fused)
     return {
         "pallas_parity_max_rel_err": round(rel_pallas, 8),
         "fft_parity_max_rel_err": round(rel_fft, 8),
-        "pallas_parity_ok": bool(rel_pallas < 1e-3 and rel_fft < 1e-3),
+        "fft_fused_parity_max_rel_err": round(rel_fused, 8),
+        "pallas_parity_ok": bool(
+            rel_pallas < 1e-3 and rel_fft < 1e-3 and rel_fused < 1e-3
+        ),
     }
 
 

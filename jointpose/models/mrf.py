@@ -116,14 +116,22 @@ class SpatialModel(nn.Module):
         if pass_fn is None:
             impl = select_impl(self.config)
             if impl == "fft":
-                import functools
+                if self.config.use_pallas:
+                    # Forward DFTs (XLA) + single fused Pallas kernel for
+                    # pointwise ⊙ + inverse DFT + bias + log + Σ_v.
+                    from jointpose.ops.mrf_fft_pallas import (
+                        mrf_message_pass_fft_fused,
+                    )
 
-                from jointpose.ops.mrf_fft import mrf_message_pass_fft
+                    pass_fn = mrf_message_pass_fft_fused
+                else:
+                    import functools
 
-                pass_fn = functools.partial(
-                    mrf_message_pass_fft,
-                    use_pallas_epilogue=self.config.use_pallas,
-                )
+                    from jointpose.ops.mrf_fft import mrf_message_pass_fft
+
+                    pass_fn = functools.partial(
+                        mrf_message_pass_fft, use_pallas_epilogue=False
+                    )
             elif impl == "pallas":
                 from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
 

@@ -99,6 +99,35 @@ def _transform2d(x, row_re, row_im, col_re, col_im, precision):
     return re, im
 
 
+def forward_ffts(p: jnp.ndarray, kernels: jnp.ndarray, precision):
+    """Forward DFTs of unaries and kernels (the shared front half).
+
+    Returns ((pf_re, pf_im) (B, K, Ph, Pw), (kf_re, kf_im)
+    (Kv, Ka, Ph, Pw), tables dict of jnp operators).
+    """
+    b, h, w, k = p.shape
+    wh, ww, kv, ka = kernels.shape
+    assert kv == k and ka == k, (kernels.shape, k)
+    c = _dft_consts((h, w), (wh, ww))
+    tables = {n: jnp.asarray(v) for n, v in c.items()}
+
+    # Forward DFT of the unaries: (B, K, Ph, Pw) complex.
+    planes = p.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, K, H, W)
+    pf = _transform2d(
+        planes, tables["fr_re"], tables["fr_im"], tables["fc_re"], tables["fc_im"],
+        precision,
+    )
+
+    # Forward DFT of the kernels: (Kv, Ka, Ph, Pw) complex — shared
+    # across the batch (and constant-foldable when kernels are literals).
+    kplanes = kernels.astype(jnp.float32).transpose(2, 3, 0, 1)  # (Kv, Ka, wh, ww)
+    kf = _transform2d(
+        kplanes, tables["gr_re"], tables["gr_im"], tables["gc_re"], tables["gc_im"],
+        precision,
+    )
+    return pf, kf, tables
+
+
 def fft_pairwise_conv(
     p: jnp.ndarray, kernels: jnp.ndarray, precision=None
 ) -> jnp.ndarray:
@@ -115,26 +144,7 @@ def fft_pairwise_conv(
       (B, H, W, K, K) fp32 responses, axis -2 = v (source), -1 = a.
     """
     precision = lax.Precision.HIGH if precision is None else precision
-    b, h, w, k = p.shape
-    wh, ww, kv, ka = kernels.shape
-    assert kv == k and ka == k, (kernels.shape, k)
-    c = _dft_consts((h, w), (wh, ww))
-    tables = {n: jnp.asarray(v) for n, v in c.items()}
-
-    # Forward DFT of the unaries: (B, K, Ph, Pw) complex.
-    planes = p.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, K, H, W)
-    pf_re, pf_im = _transform2d(
-        planes, tables["fr_re"], tables["fr_im"], tables["fc_re"], tables["fc_im"],
-        precision,
-    )
-
-    # Forward DFT of the kernels: (Kv, Ka, Ph, Pw) complex — shared
-    # across the batch (and constant-foldable when kernels are literals).
-    kplanes = kernels.astype(jnp.float32).transpose(2, 3, 0, 1)  # (Kv, Ka, wh, ww)
-    kf_re, kf_im = _transform2d(
-        kplanes, tables["gr_re"], tables["gr_im"], tables["gc_re"], tables["gc_im"],
-        precision,
-    )
+    (pf_re, pf_im), (kf_re, kf_im), tables = forward_ffts(p, kernels, precision)
 
     # Cross-correlation theorem: R = conj(K_f) ⊙ P_f, broadcast P_f[v]
     # against K_f[v, a] -> (B, Kv, Ka, Ph, Pw).

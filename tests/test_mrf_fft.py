@@ -79,6 +79,39 @@ def test_fft_message_pass_gradients_match_xla():
         )
 
 
+def test_fused_pallas_pass_matches_xla():
+    # The single fused kernel (forward DFTs + Pallas pointwise/inverse/
+    # epilogue) in interpret mode on CPU; compiled-on-TPU parity is
+    # bench.py's job.  Batch 6 exercises the tb=2 tiling path.
+    from jointpose.ops.mrf_fft_pallas import mrf_message_pass_fft_fused
+
+    p, kernels, biases = _inputs(batch=6)
+    want = mrf_message_pass_xla(p, kernels, biases, precision=HI)
+    got = mrf_message_pass_fft_fused(p, kernels, biases, precision=HI)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_pallas_pass_gradients_match_xla():
+    from jointpose.ops.mrf_fft_pallas import mrf_message_pass_fft_fused
+
+    p, kernels, biases = _inputs()
+
+    def loss(fn, p, kernels, biases):
+        out = fn(p, kernels, biases, precision=HI)
+        return jnp.sum(out * jnp.cos(out))
+
+    gx = jax.grad(lambda *a: loss(mrf_message_pass_xla, *a), argnums=(0, 1, 2))(
+        p, kernels, biases
+    )
+    gf = jax.grad(
+        lambda *a: loss(mrf_message_pass_fft_fused, *a), argnums=(0, 1, 2)
+    )(p, kernels, biases)
+    for a, b, name in zip(gx, gf, ("dp", "dkernels", "dbiases")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-3, rtol=1e-3, err_msg=name
+        )
+
+
 def test_fft_under_coarse_stride():
     # The coarse (stride>1) wrapper accepts any message_pass impl.
     p, kernels, biases = _inputs(hw=(16, 24), win=(7, 9))
