@@ -90,6 +90,10 @@ class SpatialModel(nn.Module):
     # (wh, ww, K, K); defaults to the uniform kernel.
     raw_kernel_init: Callable[..., jnp.ndarray] | None = None
     message_pass: Callable[..., jnp.ndarray] | None = None
+    # Device mesh for model-axis TP of the message pass (source-joint
+    # sharding + psum, parallel/mrf_tp.py); None or model-size-1 meshes
+    # run unsharded.  Params are identical either way.
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, p: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +142,14 @@ class SpatialModel(nn.Module):
                 pass_fn = mrf_message_pass_pallas
             else:
                 pass_fn = mrf_message_pass_xla
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            import functools
+
+            from jointpose.parallel.mrf_tp import mrf_message_pass_tp
+
+            pass_fn = functools.partial(
+                mrf_message_pass_tp, mesh=self.mesh, base_pass=pass_fn
+            )
         if self.config.stride > 1:
             from jointpose.ops.mrf_xla import mrf_message_pass_coarse
 

@@ -25,6 +25,8 @@ class PoseModel(nn.Module):
     # message pass); None = module defaults.
     mrf_raw_kernel_init: Callable[..., jnp.ndarray] | None = None
     mrf_message_pass: Callable[..., jnp.ndarray] | None = None
+    # Device mesh for model-axis TP of the MRF (see SpatialModel.mesh).
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -57,6 +59,7 @@ class PoseModel(nn.Module):
                 dtype=dtype,
                 raw_kernel_init=self.mrf_raw_kernel_init,
                 message_pass=self.mrf_message_pass,
+                mesh=self.mesh,
                 name="spatial_model",
             )(unaries)
         return out

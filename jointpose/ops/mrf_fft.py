@@ -107,7 +107,9 @@ def forward_ffts(p: jnp.ndarray, kernels: jnp.ndarray, precision):
     """
     b, h, w, k = p.shape
     wh, ww, kv, ka = kernels.shape
-    assert kv == k and ka == k, (kernels.shape, k)
+    # Kv == Ka in the unsharded model; under model-axis TP each shard
+    # carries a source-joint slice (Kv < Ka).
+    assert kv == k, (kernels.shape, p.shape)
     c = _dft_consts((h, w), (wh, ww))
     tables = {n: jnp.asarray(v) for n, v in c.items()}
 

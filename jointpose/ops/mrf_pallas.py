@@ -39,23 +39,23 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_kernel(resp_ref, bias_ref, out_ref, *, k: int, eps: float):
-    x = resp_ref[:].astype(jnp.float32) + bias_ref[:]  # (rows, K*K) + (1, K*K)
+def _fwd_kernel(resp_ref, bias_ref, out_ref, *, kv: int, ka: int, eps: float):
+    x = resp_ref[:].astype(jnp.float32) + bias_ref[:]  # (rows, Kv*Ka) + (1, Kv*Ka)
     y = jnp.log(jnp.maximum(x, eps))
     # Σ over source v via unrolled lane slices: Mosaic cannot shape-cast
-    # the lane axis to (rows, K, K), but contiguous lane slices are fine.
-    acc = y[:, 0:k]
-    for v in range(1, k):
-        acc = acc + y[:, v * k : (v + 1) * k]
+    # the lane axis to (rows, Kv, Ka), but contiguous lane slices are fine.
+    acc = y[:, 0:ka]
+    for v in range(1, kv):
+        acc = acc + y[:, v * ka : (v + 1) * ka]
     out_ref[:] = acc
 
 
-def _bwd_kernel(resp_ref, bias_ref, g_ref, dresp_ref, dbias_ref, *, k: int, eps: float):
-    x = resp_ref[:].astype(jnp.float32) + bias_ref[:]  # (rows, K*K)
+def _bwd_kernel(resp_ref, bias_ref, g_ref, dresp_ref, dbias_ref, *, kv: int, ka: int, eps: float):
+    x = resp_ref[:].astype(jnp.float32) + bias_ref[:]  # (rows, Kv*Ka)
     # d log(max(x, eps))/dx = 1/x where x > eps else 0.
     inv = jnp.where(x > eps, 1.0 / jnp.maximum(x, eps), 0.0)
-    g = g_ref[:].astype(jnp.float32)  # (rows, K)
-    gb = jnp.tile(g, (1, k))  # column v*K+a holds g[:, a]
+    g = g_ref[:].astype(jnp.float32)  # (rows, Ka)
+    gb = jnp.tile(g, (1, kv))  # column v*Ka+a holds g[:, a]
     dresp = gb * inv
     dresp_ref[:] = dresp.astype(dresp_ref.dtype)
     # Bias gradient: accumulate across the (sequential) TPU grid into one
@@ -80,56 +80,56 @@ def _pad_rows(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
 
 
-def _epilogue_fwd_impl(resp2d: jnp.ndarray, biases: jnp.ndarray, eps: float, k: int):
+def _epilogue_fwd_impl(resp2d: jnp.ndarray, biases: jnp.ndarray, eps: float, kv: int, ka: int):
     n = resp2d.shape[0]
     grid = pl.cdiv(n, _ROWS)
     resp2d = _pad_rows(resp2d, grid * _ROWS)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, eps=eps),
+        functools.partial(_fwd_kernel, kv=kv, ka=ka, eps=eps),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_ROWS, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, kv * ka), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv * ka), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROWS, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid * _ROWS, k), jnp.float32),
+        out_specs=pl.BlockSpec((_ROWS, ka), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * _ROWS, ka), jnp.float32),
         interpret=_use_interpret(),
-    )(resp2d, biases.reshape(1, k * k).astype(jnp.float32))
+    )(resp2d, biases.reshape(1, kv * ka).astype(jnp.float32))
     return out[:n]
 
 
-def _epilogue_bwd_impl(resp2d, biases, g2d, eps: float, k: int):
+def _epilogue_bwd_impl(resp2d, biases, g2d, eps: float, kv: int, ka: int):
     n = resp2d.shape[0]
     grid = pl.cdiv(n, _ROWS)
     resp2d = _pad_rows(resp2d, grid * _ROWS)
     g2d = _pad_rows(g2d, grid * _ROWS)
     dresp, dbias_parts = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, eps=eps),
+        functools.partial(_bwd_kernel, kv=kv, ka=ka, eps=eps),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_ROWS, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, kv * ka), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv * ka), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, ka), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_ROWS, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, kv * ka), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv * ka), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((grid * _ROWS, k * k), resp2d.dtype),
-            jax.ShapeDtypeStruct((1, k * k), jnp.float32),
+            jax.ShapeDtypeStruct((grid * _ROWS, kv * ka), resp2d.dtype),
+            jax.ShapeDtypeStruct((1, kv * ka), jnp.float32),
         ),
         interpret=_use_interpret(),
-    )(resp2d, biases.reshape(1, k * k).astype(jnp.float32), g2d)
-    return dresp[:n], dbias_parts.reshape(k, k)
+    )(resp2d, biases.reshape(1, kv * ka).astype(jnp.float32), g2d)
+    return dresp[:n], dbias_parts.reshape(kv, ka)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def mrf_epilogue_pallas(resp: jnp.ndarray, biases: jnp.ndarray, eps: float = 1e-6):
-    """Fused Σ_v log(resp + bias) over (B, H, W, K, K) -> (B, H, W, K)."""
-    b, h, w, k, _ = resp.shape
-    out2d = _epilogue_fwd_impl(resp.reshape(b * h * w, k * k), biases, eps, k)
-    return out2d.reshape(b, h, w, k)
+    """Fused Σ_v log(resp + bias) over (B, H, W, Kv, Ka) -> (B, H, W, Ka)."""
+    b, h, w, kv, ka = resp.shape
+    out2d = _epilogue_fwd_impl(resp.reshape(b * h * w, kv * ka), biases, eps, kv, ka)
+    return out2d.reshape(b, h, w, ka)
 
 
 def _vjp_fwd(resp, biases, eps):
@@ -138,13 +138,14 @@ def _vjp_fwd(resp, biases, eps):
 
 def _vjp_bwd(eps, residuals, g):
     resp, biases = residuals
-    b, h, w, k, _ = resp.shape
+    b, h, w, kv, ka = resp.shape
     dresp2d, dbias = _epilogue_bwd_impl(
-        resp.reshape(b * h * w, k * k),
+        resp.reshape(b * h * w, kv * ka),
         biases,
-        g.reshape(b * h * w, k).astype(jnp.float32),
+        g.reshape(b * h * w, ka).astype(jnp.float32),
         eps,
-        k,
+        kv,
+        ka,
     )
     return dresp2d.reshape(resp.shape), dbias
 

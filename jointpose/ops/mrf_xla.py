@@ -32,34 +32,36 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 def pairwise_conv(
     p: jnp.ndarray, kernels: jnp.ndarray, precision=None
 ) -> jnp.ndarray:
-    """All K^2 pairwise convolutions as one grouped conv.
+    """All Kv*Ka pairwise convolutions as one grouped conv.
 
     Args:
-      p: (B, H, W, K) unary heatmaps.
-      kernels: (wh, ww, K, K) positive kernels; kernels[:, :, v, a] is
-        k_{a|v} (input joint v -> target joint a).
+      p: (B, H, W, Kv) unary heatmaps.
+      kernels: (wh, ww, Kv, Ka) positive kernels; kernels[:, :, v, a] is
+        k_{a|v} (input joint v -> target joint a).  Kv == Ka == K in the
+        unsharded model; under model-axis TP each shard holds a slice of
+        the source-joint axis (Kv = K/shards).
       precision: lax.Precision for the conv; None = backend default
         (bf16-class on TPU — right for the model), HIGHEST for tests.
     Returns:
-      (B, H, W, K, K) responses, axis -2 = v (source), axis -1 = a.
+      (B, H, W, Kv, Ka) responses, axis -2 = v (source), axis -1 = a.
     """
-    wh, ww, k, k2 = kernels.shape
-    assert k == k2, kernels.shape
-    # Grouped conv: out channel v*K + a uses input channel v and kernel
-    # slice [..., 0, v*K + a]; reshaping (wh, ww, v, a) row-major gives
+    wh, ww, kv, ka = kernels.shape
+    assert p.shape[-1] == kv, (p.shape, kernels.shape)
+    # Grouped conv: out channel v*Ka + a uses input channel v and kernel
+    # slice [..., 0, v*Ka + a]; reshaping (wh, ww, v, a) row-major gives
     # exactly that layout.
-    kern = kernels.reshape(wh, ww, 1, k * k)
+    kern = kernels.reshape(wh, ww, 1, kv * ka)
     resp = lax.conv_general_dilated(
         p,
         kern.astype(p.dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=_DIMNUMS,
-        feature_group_count=k,
+        feature_group_count=kv,
         precision=precision,
     )
     b, h, w, _ = resp.shape
-    return resp.reshape(b, h, w, k, k)
+    return resp.reshape(b, h, w, kv, ka)
 
 
 def mrf_message_pass_xla(

@@ -70,9 +70,11 @@ def param_shardings(params, mesh: Mesh):
       (kernel (kh, kw, in, out) -> P(..., 'model'); bias -> P('model')),
       and the following 1x1 convs shard their INPUT channels — classic
       channel-wise conv TP; XLA inserts the reduce at the 1x1 contraction;
-    - the MRF pairwise kernels (wh, ww, K_v, K_a) shard the target-joint
-      axis (partitioning the grouped conv's K^2 output channels) when K
-      divides the axis size (K=9 usually doesn't — then they replicate).
+    - the MRF pairwise kernels stay replicated HERE (K=9 divides no even
+      axis); their TP is activation-level instead: the message pass
+      shards its source-joint axis in-graph via shard_map + psum with
+      neutral padding (parallel/mrf_tp.py), engaged through
+      ``PoseModel(mesh=...)``.
 
     Everything else (trunk convs, small biases) is replicated; the batch
     axis of activations carries the 'data' sharding.
@@ -82,8 +84,6 @@ def param_shardings(params, mesh: Mesh):
     def rule(path, x):
         keys = _path_keys(path)
         if model_size > 1:
-            if "raw_kernels" in keys and x.ndim == 4 and x.shape[-1] % model_size == 0:
-                return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
             if "head_wide" in keys:
                 if keys[-1] == "kernel" and x.shape[-1] % model_size == 0:
                     return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))

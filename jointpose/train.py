@@ -221,7 +221,9 @@ def fit(
         f"{workdir}/{config.train.checkpoint_dir}", keep=config.train.keep_checkpoints
     )
     train_ds, test_ds = make_dataset(config.data)
-    model = PoseModel(config)
+    # Model-axis TP (MRF source-joint sharding) engages only on real
+    # multi-device model meshes; params are identical either way.
+    model = PoseModel(config, mesh=mesh if mesh.shape["model"] > 1 else None)
     state = create_state(config, model, jax.random.PRNGKey(config.train.seed))
     with mesh:
         state = state.replace(params=shard_params(state.params, mesh))
@@ -397,6 +399,8 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--detector-steps", type=int, default=None)
     parser.add_argument("--joint-steps", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--learning-rate", type=float, default=None)
+    parser.add_argument("--lr-schedule", choices=["constant", "cosine"], default=None)
     parser.add_argument("--source", choices=["synthetic", "flic"], default=None)
     parser.add_argument("--eval-max-batches", type=int, default=None)
     parser.add_argument("--figures", action="store_true",
@@ -423,6 +427,10 @@ def main(argv: list[str] | None = None) -> None:
         tr["joint_steps"] = args.joint_steps
     if args.batch_size is not None:
         tr["batch_size"] = args.batch_size
+    if args.learning_rate is not None:
+        tr["learning_rate"] = args.learning_rate
+    if args.lr_schedule is not None:
+        tr["lr_schedule"] = args.lr_schedule
     if tr:
         config = config.replace(train=dataclasses.replace(config.train, **tr))
     if args.source is not None:

@@ -29,8 +29,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _fresh(cfg):
-    model = PoseModel(cfg)
+def _fresh(cfg, mesh=None):
+    model = PoseModel(
+        cfg, mesh=mesh if mesh is not None and mesh.shape["model"] > 1 else None
+    )
     state = create_state(cfg, model, jax.random.PRNGKey(0))
     train_ds, _ = make_dataset(cfg.data)
     batch = train_ds.get_batch(jnp.arange(8, dtype=jnp.int32))
@@ -62,7 +64,7 @@ def test_make_mesh_shapes():
 def _run_step(cfg, mesh_cfg, batch_np):
     cfg = cfg.replace(mesh=mesh_cfg)
     mesh = make_mesh(cfg.mesh, devices=jax.devices()[: mesh_cfg.data * mesh_cfg.model])
-    state, _ = _fresh(cfg)
+    state, _ = _fresh(cfg, mesh)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     with mesh:
         state = state.replace(params=shard_params(state.params, mesh))
@@ -93,6 +95,85 @@ def test_2d_mesh_with_model_sharding_matches(tiny_noaug):
     np.testing.assert_allclose(loss_1, loss_42, rtol=2e-4)
     for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_42)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_model", [2, 4, 8])
+def test_mrf_tp_pass_matches_unsharded(n_model):
+    # Source-joint TP of the message pass (K=9 padded to a neutral
+    # multiple of the model axis): results must match the unsharded pass
+    # and the device-local operand shapes must actually be slices.
+    import jax.lax as lax
+
+    from jointpose.ops.mrf_xla import mrf_message_pass_xla
+    from jointpose.parallel.mrf_tp import mrf_message_pass_tp
+
+    k, hw, win, b = 9, (12, 16), (7, 9), 8
+    rngs = jax.random.split(jax.random.PRNGKey(3), 3)
+    p = jax.nn.softmax(
+        jax.random.normal(rngs[0], (b, *hw, k)).reshape(b, -1, k), axis=1
+    ).reshape(b, *hw, k)
+    kernels = jax.nn.softplus(jax.random.normal(rngs[1], (*win, k, k)))
+    biases = jax.nn.softplus(jax.random.normal(rngs[2], (k, k)) - 4.0)
+    mesh = make_mesh(MeshConfig(data=8 // n_model, model=n_model))
+
+    local_shapes = []
+
+    def recording_pass(p_, k_, b_, **kw):
+        local_shapes.append((p_.shape, k_.shape, b_.shape))
+        return mrf_message_pass_xla(p_, k_, b_, **kw)
+
+    want = mrf_message_pass_xla(p, kernels, biases, precision=lax.Precision.HIGHEST)
+    got = mrf_message_pass_tp(
+        p, kernels, biases, precision=lax.Precision.HIGHEST,
+        mesh=mesh, base_pass=recording_pass,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # Device-local shapes: Kp = ceil(9/n)*n source slots split n ways.
+    kp = -(-k // n_model) * n_model
+    (p_shape, k_shape, b_shape) = local_shapes[0]
+    assert p_shape == (b // (8 // n_model), *hw, kp // n_model)
+    assert k_shape == (*win, kp // n_model, k)
+    assert b_shape == (kp // n_model, k)
+
+
+def test_mrf_tp_gradients_match_unsharded():
+    import jax.lax as lax
+
+    from jointpose.ops.mrf_xla import mrf_message_pass_xla
+    from jointpose.parallel.mrf_tp import mrf_message_pass_tp
+
+    k, hw, win, b = 9, (10, 12), (5, 7), 8
+    rngs = jax.random.split(jax.random.PRNGKey(4), 3)
+    p = jax.nn.softmax(
+        jax.random.normal(rngs[0], (b, *hw, k)).reshape(b, -1, k), axis=1
+    ).reshape(b, *hw, k)
+    kernels = jax.nn.softplus(jax.random.normal(rngs[1], (*win, k, k)))
+    biases = jax.nn.softplus(jax.random.normal(rngs[2], (k, k)) - 4.0)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+
+    def loss(fn, *args):
+        return jnp.sum(jnp.tanh(fn(*args)))
+
+    gw = jax.grad(
+        lambda *a: loss(
+            lambda *x: mrf_message_pass_xla(*x, precision=lax.Precision.HIGHEST), *a
+        ),
+        argnums=(0, 1, 2),
+    )(p, kernels, biases)
+    gt = jax.grad(
+        lambda *a: loss(
+            lambda *x: mrf_message_pass_tp(
+                *x, precision=lax.Precision.HIGHEST,
+                mesh=mesh, base_pass=mrf_message_pass_xla,
+            ),
+            *a,
+        ),
+        argnums=(0, 1, 2),
+    )(p, kernels, biases)
+    for a_, b_, name in zip(gw, gt, ("dp", "dkernels", "dbiases")):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a_), atol=1e-5, err_msg=name
+        )
 
 
 def test_head_conv_params_actually_sharded(tiny_noaug):
