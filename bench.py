@@ -37,13 +37,9 @@ import jax.numpy as jnp
 from jointpose.configs import get_config
 from jointpose.models.pose import PoseModel
 from jointpose.ops.heatmaps import decode_probs, model_probs
+from jointpose.perf import ASSUMED_MXU_UTIL, PEAK_BF16_FLOPS, compiled_cost
 
 BASELINE_IMAGES_PER_SEC = 10_000.0
-# TPU v5 lite (v5e-class) peak: ~197 TFLOP/s bf16, ~819 GB/s HBM.
-PEAK_BF16_FLOPS = 197e12
-# Conservative sustained MXU fraction for conv-dominated programs; used
-# only for the model-derived fallback and documented in BASELINE.md.
-ASSUMED_MXU_UTIL = 0.60
 # Wall-clock is declared impossible above this fraction of peak.
 PLAUSIBILITY_MARGIN = 1.25
 
@@ -70,13 +66,6 @@ def _timed_rate(fn, *args, warmup: int, iters: int) -> float:
     for _ in range(iters):
         jax.block_until_ready(fn(*args))
     return iters / (time.perf_counter() - t0)
-
-
-def _cost_analysis_flops(jitted, *args) -> float:
-    cost = jitted.lower(*args).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
-        cost = cost[0]
-    return float(cost["flops"])
 
 
 def probe_clock_validity(warmup: int = 2, iters: int = 10) -> dict:
@@ -156,7 +145,7 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     images = jax.random.uniform(rng, (batch_size, *config.data.image_hw, 3), jnp.float32)
     params = model.init(rng, images[:1])
 
-    flops_per_image = _cost_analysis_flops(forward, params, images) / batch_size
+    flops_per_image = compiled_cost(forward, params, images)["flops"] / batch_size
     measured = _timed_rate(forward, params, images, warmup=warmup, iters=iters) * batch_size
 
     on_tpu = jax.default_backend() == "tpu"

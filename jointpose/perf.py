@@ -1,0 +1,40 @@
+"""Shared performance model + compiled-program cost helpers (SURVEY §6).
+
+On this rig the device is reached through the axon relay, which
+acknowledges dispatches before compute completes — host wall-clock is a
+DISPATCH rate, not a device rate, and can overstate throughput by
+orders of magnitude (round-1 finding; bench.py self-calibrates against
+it).  The defensible throughput numbers are therefore derived from the
+compiled program's cost analysis against the chip's roofline; every
+consumer (bench.py headline, train-loop logging, BASELINE.md tables)
+uses the single model defined here.
+"""
+
+from __future__ import annotations
+
+# TPU v5 lite (v5e-class) peak: ~197 TFLOP/s bf16, ~819 GB/s HBM.
+PEAK_BF16_FLOPS = 197e12
+HBM_BYTES_PER_SEC = 819e9
+# Conservative sustained MXU fraction for conv-dominated programs.
+ASSUMED_MXU_UTIL = 0.60
+
+
+def compiled_cost(jitted, *args) -> dict:
+    """{'flops', 'bytes'} of the compiled program for these args."""
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return {
+        "flops": float(cost.get("flops", 0.0)),
+        "bytes": float(cost.get("bytes accessed", 0.0)),
+    }
+
+
+def roofline_images_per_sec(flops_per_image: float, bytes_per_image: float = 0.0):
+    """Model-derived img/s bound: min(MXU roofline, HBM roofline)."""
+    if flops_per_image <= 0:
+        return None
+    mxu = PEAK_BF16_FLOPS * ASSUMED_MXU_UTIL / flops_per_image
+    if bytes_per_image > 0:
+        return min(mxu, HBM_BYTES_PER_SEC * 0.8 / bytes_per_image)
+    return mxu

@@ -253,6 +253,32 @@ def fit(
         "joint": make_train_step(config, "joint", get_batch=gen),
     }
 
+    # Honest training-throughput accounting (SURVEY §6): host step rates
+    # through the axon relay are DISPATCH rates (the relay acks before
+    # compute finishes), so each stage additionally logs a model-derived
+    # device bound from the compiled step's cost analysis.
+    stage_costs: dict[str, float | None] = {}
+
+    def log_stage_cost(stage: str, step_fn, state, batch) -> None:
+        if stage in stage_costs or jax.default_backend() != "tpu":
+            return
+        from jointpose.perf import compiled_cost, roofline_images_per_sec
+
+        try:
+            cost = compiled_cost(step_fn, state, batch)
+        except Exception:  # cost analysis is best-effort diagnostics
+            stage_costs[stage] = None
+            return
+        per_img = cost["flops"] / config.train.batch_size
+        bound = roofline_images_per_sec(per_img)
+        stage_costs[stage] = bound
+        logger.log(
+            step,
+            stage=stage,
+            train_step_gflops_per_image=per_img / 1e9,
+            roofline_images_per_sec=bound,
+        )
+
     profiler = None
     if profile_steps > 0:
         from jointpose.metrics import ProfilerHook
@@ -342,6 +368,7 @@ def fit(
             )
         else:
             batch = shard_batch(train_ds.get_batch(idx), mesh)
+        log_stage_cost(stage, step_fns[stage], state, batch)
         if profiler is not None:
             profiler.on_step(step)
             with profiler.annotation(step):
@@ -356,7 +383,10 @@ def fit(
             now = time.time()
             ips = (step - n_last) * config.train.batch_size / max(now - t_last, 1e-9)
             t_last, n_last = now, step
-            logger.log(step, stage=stage, images_per_sec=ips,
+            # dispatch_*: host-side rate; an upper bound only where the
+            # device relay acks early — see log_stage_cost for the
+            # model-derived device bound.
+            logger.log(step, stage=stage, dispatch_images_per_sec=ips,
                        **{k: float(v) for k, v in metrics.items()})
         if step % config.train.eval_every == 0 or step == total_steps:
             final_eval = run_eval(step)

@@ -103,3 +103,55 @@ def test_make_dataset_flic_source(tmp_path):
     assert train.size == 3 and test.size == 2
     batch = train.get_batch(jnp.asarray([0, 2], jnp.int32))
     assert batch["image"].shape == (2, 240, 360, 3)
+
+
+def test_flic_device_memory_is_o_batch(tmp_path):
+    # Round-1 weak #7: the full split must stay in host RAM, with only
+    # per-batch slices ever staged to a device.  Use a split big enough
+    # (10 frames) that its shape is unambiguous among live arrays.
+    import jax
+    import jax.numpy as jnp
+
+    from jointpose.data.pipeline import make_dataset
+
+    _make_fake_flic(str(tmp_path), n_train=10, n_test=2)
+    cfg = DataConfig(source="flic", flic_dir=str(tmp_path), image_hw=(240, 360))
+    train, test = make_dataset(cfg)
+    assert train.host_resident and test.host_resident
+    batch = train.get_batch(jnp.asarray([1, 3, 5], jnp.int32))
+    # Batches come back as host numpy; staging is the consumer's job
+    # (shard_batch / jit transfer), so nothing split-sized is on device.
+    assert isinstance(batch["image"], np.ndarray)
+    split_shape = (10, 240, 360, 3)
+    live = [tuple(a.shape) for a in jax.live_arrays()]
+    assert split_shape not in live, "full FLIC split found in device memory"
+    # Slices match direct indexing and survive a device round trip.
+    direct = np.asarray(PIL_Image.open(
+        os.path.join(str(tmp_path), "images", "frame003.jpg")
+    ).convert("RGB").resize((360, 240), PIL_Image.BILINEAR), np.float32) / 255.0
+    np.testing.assert_allclose(batch["image"][1], direct, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(jnp.asarray(batch["image"]))[1], batch["image"][1])
+
+
+def test_flic_source_trains_end_to_end(tmp_path):
+    # A host-resident source must drive the full staged fit loop (the
+    # non-fused two-dispatch path) — shapes, sharding, eval included.
+    import dataclasses as dc
+
+    from jointpose.configs import get_config
+    from jointpose.train import fit
+
+    _make_fake_flic(str(tmp_path / "flic"), n_train=8, n_test=4)
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        data=dc.replace(
+            cfg.data, source="flic", flic_dir=str(tmp_path / "flic"),
+            image_hw=(48, 64), train_size=8, test_size=4,
+        ),
+        train=dc.replace(
+            cfg.train, detector_steps=4, joint_steps=2, eval_every=6, log_every=2,
+        ),
+    )
+    result = fit(cfg, str(tmp_path / "run"), eval_max_batches=1)
+    assert int(result.state.step) == 6
+    assert np.isfinite(result.metrics["pdj_at_05_wrist_elbow"])
