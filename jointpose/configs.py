@@ -95,6 +95,12 @@ class AugmentConfig:
     rotate_deg: float = 20.0
     translate_frac: float = 0.08  # max |shift| as fraction of image size
     flip_prob: float = 0.5
+    # Explicit random crop (the reference's crop augmentation, SURVEY C3):
+    # a sub-window of ``frac * (H, W)`` with frac ~ U(crop_frac_range) and
+    # uniform in-frame origin is resampled back to (H, W).  (1.0, 1.0)
+    # disables it (identity).  Applied before scale/rotate/flip; composed
+    # into the same single affine, so it costs nothing extra.
+    crop_frac_range: tuple[float, float] = (1.0, 1.0)
 
 
 @dataclass(frozen=True)
@@ -116,6 +122,13 @@ class TrainConfig:
     detector_loss: str = "mse"
     # Loss on MRF (normalized) output heatmaps.
     mrf_loss: str = "ce"
+    # LR multiplier for the spatial-model subtree.  The K^2 pairwise
+    # kernels see much smaller per-parameter gradients than the detector
+    # (each tap touches one displacement of one joint pair), so the
+    # frozen-detector regime (BASELINE config 3) converges impractically
+    # slowly at the shared LR — raise this to train the MRF to plateau
+    # without destabilizing the detector stages.
+    mrf_lr_mult: float = 1.0
     # Staged regime [P1406 §3.3]: detector pretrain steps, then joint steps.
     detector_steps: int = 1000
     joint_steps: int = 1000
@@ -231,7 +244,7 @@ def _preset_joint() -> Config:
         name="joint",
         detector=DetectorConfig(multires=True),
         mrf=MRFConfig(),
-        augment=AugmentConfig(enabled=True),
+        augment=AugmentConfig(enabled=True, crop_frac_range=(0.8, 1.0)),
     )
 
 

@@ -35,11 +35,29 @@ class AugmentParams(NamedTuple):
     tx: jnp.ndarray  # pixels
     ty: jnp.ndarray  # pixels
     flip: jnp.ndarray  # {0., 1.}
+    # Explicit random crop: a (crop_frac*H, crop_frac*W) sub-window at
+    # origin (crop_x0, crop_y0) resampled back to (H, W).  frac=1,
+    # origin=0 is the identity.
+    crop_frac: jnp.ndarray = None
+    crop_x0: jnp.ndarray = None  # pixels
+    crop_y0: jnp.ndarray = None  # pixels
+
+
+def _fill_crop_identity(p: AugmentParams) -> AugmentParams:
+    if p.crop_frac is not None:
+        return p
+    batch = p.scale.shape[0]
+    z = jnp.zeros((batch,), jnp.float32)
+    return p._replace(
+        crop_frac=jnp.ones((batch,), jnp.float32), crop_x0=z, crop_y0=z
+    )
 
 
 def identity_augment_params(batch: int) -> AugmentParams:
     z = jnp.zeros((batch,), jnp.float32)
-    return AugmentParams(scale=jnp.ones((batch,), jnp.float32), angle=z, tx=z, ty=z, flip=z)
+    return _fill_crop_identity(
+        AugmentParams(scale=jnp.ones((batch,), jnp.float32), angle=z, tx=z, ty=z, flip=z)
+    )
 
 
 def random_augment_params(
@@ -47,7 +65,7 @@ def random_augment_params(
 ) -> AugmentParams:
     """Draw per-image scale/rotation/translation/flip parameters."""
     h, w = image_hw
-    k_s, k_a, k_t, k_f = jax.random.split(rng, 4)
+    k_s, k_a, k_t, k_f, k_c, k_o = jax.random.split(rng, 6)
     scale = jax.random.uniform(
         k_s, (batch,), minval=cfg.scale_range[0], maxval=cfg.scale_range[1]
     )
@@ -55,12 +73,20 @@ def random_augment_params(
     angle = jax.random.uniform(k_a, (batch,), minval=-max_rad, maxval=max_rad)
     t = jax.random.uniform(k_t, (batch, 2), minval=-cfg.translate_frac, maxval=cfg.translate_frac)
     flip = (jax.random.uniform(k_f, (batch,)) < cfg.flip_prob).astype(jnp.float32)
+    frac = jax.random.uniform(
+        k_c, (batch,), minval=cfg.crop_frac_range[0], maxval=cfg.crop_frac_range[1]
+    )
+    # Uniform in-frame origin: 0 <= x0 <= (1 - frac) * (w - 1).
+    o = jax.random.uniform(k_o, (batch, 2))
     return AugmentParams(
         scale=scale.astype(jnp.float32),
         angle=angle.astype(jnp.float32),
         tx=(t[:, 0] * w).astype(jnp.float32),
         ty=(t[:, 1] * h).astype(jnp.float32),
         flip=flip,
+        crop_frac=frac.astype(jnp.float32),
+        crop_x0=(o[:, 0] * (1.0 - frac) * (w - 1.0)).astype(jnp.float32),
+        crop_y0=(o[:, 1] * (1.0 - frac) * (h - 1.0)).astype(jnp.float32),
     )
 
 
@@ -76,6 +102,7 @@ def _forward_affine(params: AugmentParams, image_hw: tuple[int, int]):
     TPU/onednn backends — a 0.1% coordinate error is a PDJ bug).
     """
     h, w = image_hw
+    params = _fill_crop_identity(params)
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     cos = jnp.cos(params.angle) * params.scale
     sin = jnp.sin(params.angle) * params.scale
@@ -84,6 +111,15 @@ def _forward_affine(params: AugmentParams, image_hw: tuple[int, int]):
     axx, axy, ayx, ayy = cos, -sin, sin, cos
     bx = cx - (axx * cx + axy * cy) + params.tx
     by = cy - (ayx * cx + ayy * cy) + params.ty
+    # Explicit crop FIRST: q = (p - o) / frac (the crop window resampled
+    # to full size), then the rotate/scale/translate map above.  Compose
+    # A_total = A * zoom (the crop is an isotropic zoom) and fold the
+    # crop origin into the offset.
+    zoom = 1.0 / params.crop_frac
+    ox, oy = -params.crop_x0 * zoom, -params.crop_y0 * zoom
+    bx = axx * ox + axy * oy + bx
+    by = ayx * ox + ayy * oy + by
+    axx, axy, ayx, ayy = axx * zoom, axy * zoom, ayx * zoom, ayy * zoom
     # Horizontal mirror F(p) = (w-1-x, y): compose F after the affine.
     #   F(A p + b) = M A p + M b + m,  M = diag(-1, 1), m = (w-1, 0)
     f = params.flip

@@ -71,13 +71,24 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     t = config.train
     lr = make_lr(config)
     if t.optimizer == "adamw":
-        return optax.adamw(lr, weight_decay=t.weight_decay)
-    if t.optimizer == "momentum":
-        return optax.chain(
+        tx = optax.adamw(lr, weight_decay=t.weight_decay)
+    elif t.optimizer == "momentum":
+        tx = optax.chain(
             optax.add_decayed_weights(t.weight_decay),
             optax.sgd(lr, momentum=t.momentum),
         )
-    raise ValueError(f"unknown optimizer {t.optimizer!r}")
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer!r}")
+    if t.mrf_lr_mult != 1.0 and config.mrf is not None:
+        # Scale the final update (≡ LR scale for any diagonal optimizer)
+        # on the spatial-model subtree only.
+        def mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: path[0].key == "spatial_model", params
+            )
+
+        tx = optax.chain(tx, optax.masked(optax.scale(t.mrf_lr_mult), mask))
+    return tx
 
 
 def create_state(config: Config, model: PoseModel, rng: jax.Array) -> TrainState:
@@ -208,6 +219,7 @@ def fit(
     from jointpose.checkpoint import Checkpointer
     from jointpose.metrics import MetricLogger
     from jointpose.priors import estimate_priors
+    from jointpose.resilience import Heartbeat, PreemptionHandler, maybe_inject_fault
 
     mesh = make_mesh(config.mesh)
     data_axis = mesh.shape["data"]
@@ -314,6 +326,13 @@ def fit(
     t_last, n_last = time.time(), step
     final_eval: dict = {}
 
+    # Failure detection & preemption (SURVEY §5; jointpose/resilience.py):
+    # heartbeat for the supervisor's hang detector, SIGTERM -> checkpoint
+    # at the next step boundary and exit EXIT_PREEMPTED for auto-resume.
+    heartbeat = Heartbeat(workdir)
+    preemption = PreemptionHandler().install()
+    heartbeat.beat(step)
+
     from jointpose.evaluate import make_eval_step
 
     def detector_only_apply(variables, images):
@@ -378,6 +397,17 @@ def fit(
         # Host-side step counter: int(state.step) would block on the
         # device result every iteration, serializing dispatch.
         step += 1
+        heartbeat.beat(step)
+        maybe_inject_fault(workdir, step)
+        if preemption.preempted:
+            jax.block_until_ready(state.params)
+            if ckpt.latest_step() != step:  # eval may have saved this step
+                ckpt.save(step, state)
+            logger.log(step, preempted=True)
+            logger.close()
+            ckpt.close()
+            print(f"preempted: checkpointed at step {step}", flush=True)
+            preemption.exit_preempted()
 
         if step % config.train.log_every == 0 or step == total_steps:
             now = time.time()
@@ -431,6 +461,10 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--learning-rate", type=float, default=None)
     parser.add_argument("--lr-schedule", choices=["constant", "cosine"], default=None)
+    parser.add_argument("--mrf-lr-mult", type=float, default=None,
+                        help="LR multiplier for the spatial-model subtree "
+                             "(frozen-detector MRF training converges slowly "
+                             "at the shared LR)")
     parser.add_argument("--source", choices=["synthetic", "flic"], default=None)
     parser.add_argument("--eval-max-batches", type=int, default=None)
     parser.add_argument("--figures", action="store_true",
@@ -461,6 +495,8 @@ def main(argv: list[str] | None = None) -> None:
         tr["learning_rate"] = args.learning_rate
     if args.lr_schedule is not None:
         tr["lr_schedule"] = args.lr_schedule
+    if args.mrf_lr_mult is not None:
+        tr["mrf_lr_mult"] = args.mrf_lr_mult
     if tr:
         config = config.replace(train=dataclasses.replace(config.train, **tr))
     if args.source is not None:

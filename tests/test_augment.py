@@ -123,3 +123,81 @@ def test_warped_image_tracks_joints():
     y0, x0 = int(round(y)), int(round(x))
     mask[max(0, y0 - 6) : y0 + 7, max(0, x0 - 6) : x0 + 7] = False
     assert far[mask].max() < 0.5
+
+
+def _crop_params(frac, x0, y0, batch=1, **kw):
+    p = _params(batch=batch, **kw)
+    mk = lambda v: jnp.full((batch,), v, jnp.float32)
+    return p._replace(crop_frac=mk(frac), crop_x0=mk(x0), crop_y0=mk(y0))
+
+
+def test_crop_maps_window_corners_to_frame_corners():
+    # The crop window [(x0, y0), (x0 + frac*(w-1), y0 + frac*(h-1))]
+    # resamples to the full frame: its corners land on the frame corners.
+    h, w = HW
+    frac, x0, y0 = 0.5, 6.0, 4.0
+    corners = jnp.asarray(
+        [[x0, y0], [x0 + frac * (w - 1), y0 + frac * (h - 1)]]
+        + [[x0 + 1.0, y0 + 1.0]] * (skeleton.NUM_JOINTS - 2)
+    )[None]
+    vis = jnp.ones((1, skeleton.NUM_JOINTS))
+    out, vis_out = transform_joints(corners, vis, _crop_params(frac, x0, y0), HW)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [0.0, 0.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), [w - 1.0, h - 1.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vis_out), 1.0)
+
+
+def test_crop_composes_with_flip_label_swap():
+    # Crop then mirror: x' = (w-1) - (x - x0)/frac.
+    h, w = HW
+    frac, x0, y0 = 0.5, 6.0, 4.0
+    joints = jnp.tile(jnp.asarray([[x0 + 2.0, y0 + 3.0]]), (skeleton.NUM_JOINTS, 1))[None]
+    vis = jnp.ones((1, skeleton.NUM_JOINTS))
+    out, _ = transform_joints(joints, vis, _crop_params(frac, x0, y0, flip=1.0), HW)
+    np.testing.assert_allclose(
+        np.asarray(out[0, skeleton.FLIP_PERM[0]]),
+        [(w - 1.0) - 2.0 / frac, 3.0 / frac],
+        atol=1e-4,
+    )
+
+
+def test_crop_outside_window_becomes_invisible():
+    h, w = HW
+    joints = jnp.tile(jnp.asarray([[1.0, 1.0]]), (skeleton.NUM_JOINTS, 1))[None]
+    vis = jnp.ones((1, skeleton.NUM_JOINTS))
+    _, vis_out = transform_joints(joints, vis, _crop_params(0.5, 10.0, 8.0), HW)
+    np.testing.assert_allclose(np.asarray(vis_out), 0.0)
+
+
+def test_crop_warped_image_matches_coordinates():
+    # A linear-ramp image warped by a pure crop must equal the ramp
+    # evaluated at the source coordinates (bilinear is exact on ramps).
+    h, w = HW
+    frac, x0, y0 = 0.5, 6.0, 4.0
+    gx = jnp.tile(jnp.arange(w, dtype=jnp.float32)[None, :, None], (h, 1, 1))
+    images = gx[None]  # (1, H, W, 1) value == x coordinate
+    joints = jnp.tile(jnp.asarray([[x0 + 2.0, y0 + 2.0]]), (skeleton.NUM_JOINTS, 1))[None]
+    vis = jnp.ones((1, skeleton.NUM_JOINTS))
+    warped, out, _ = augment_batch(images, joints, vis, _crop_params(frac, x0, y0))
+    ys = np.arange(h)
+    xs = np.arange(w)
+    expected = x0 + frac * xs  # src x of each dst column
+    interior = np.asarray(warped[0, : int(frac * (h - 1)), : int(frac * (w - 1)), 0])
+    np.testing.assert_allclose(
+        interior, np.tile(expected[: interior.shape[1]], (interior.shape[0], 1)),
+        atol=1e-3,
+    )
+
+
+def test_identity_crop_matches_legacy_params():
+    # Params built without crop fields (legacy call sites) behave as the
+    # identity crop.
+    joints = jnp.tile(jnp.asarray([[10.0, 12.0]]), (skeleton.NUM_JOINTS, 1))[None]
+    vis = jnp.ones((1, skeleton.NUM_JOINTS))
+    legacy = _params(scale=1.3, angle=0.4, tx=2.0)
+    explicit = legacy._replace(
+        crop_frac=jnp.ones((1,)), crop_x0=jnp.zeros((1,)), crop_y0=jnp.zeros((1,))
+    )
+    a, _ = transform_joints(joints, vis, legacy, HW)
+    b, _ = transform_joints(joints, vis, explicit, HW)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

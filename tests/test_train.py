@@ -139,3 +139,34 @@ def test_frozen_detector_in_joint_stage(tiny_config):
     assert not np.allclose(
         mrf_before, np.asarray(state.params["spatial_model"]["raw_kernels"])
     )
+
+
+def test_mrf_lr_mult_scales_spatial_updates_only(tiny_config):
+    # The spatial-model subtree's update scales by mrf_lr_mult; the
+    # detector's update is bitwise unaffected by the knob.
+    import optax
+
+    from jointpose.train import make_optimizer
+
+    cfg1 = tiny_config
+    cfg2 = tiny_config.replace(
+        train=dataclasses.replace(tiny_config.train, mrf_lr_mult=8.0)
+    )
+    model = PoseModel(cfg1)
+    state = create_state(cfg1, model, jax.random.PRNGKey(0))
+    grads = jax.tree.map(jnp.ones_like, state.params)
+
+    def one_update(cfg):
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(state.params)
+        updates, _ = tx.update(grads, opt_state, state.params)
+        return updates
+
+    u1, u2 = one_update(cfg1), one_update(cfg2)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(u2["spatial_model"])[0]),
+        8.0 * np.asarray(jax.tree.leaves(u1["spatial_model"])[0]),
+        rtol=1e-6,
+    )
+    for a, b in zip(jax.tree.leaves(u1["detector"]), jax.tree.leaves(u2["detector"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
