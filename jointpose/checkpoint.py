@@ -88,6 +88,23 @@ class Checkpointer:
             return self._latest.restore(step, args=ocp.args.StandardRestore(target))
         return self._best.restore(step, args=ocp.args.StandardRestore(target))
 
+    def restore_subtree(self, template: Any, step: int | None = None) -> Any:
+        """Restore a subtree of the saved state (e.g. ``{'params': ...}``).
+
+        Inference restores must not depend on reconstructing the saving
+        run's optimizer layout (a train-time ``mrf_lr_mult`` wraps the
+        optimizer in an extra chain and changes the opt_state pytree);
+        orbax partial restore skips everything absent from ``template``.
+        """
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        if step is None:
+            step = self._latest.latest_step()
+            assert step is not None, f"no checkpoint found in {self.directory}"
+        mgr = self._latest if step in self._latest.all_steps() else self._best
+        return mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item=target, partial_restore=True)
+        )
+
     def close(self) -> None:
         self._latest.close()
         self._best.close()

@@ -47,6 +47,12 @@ class DetectorConfig:
     # Share trunk weights across resolutions (paper-faithful); the half-res
     # branch reuses the full-res filter banks on the half-res pyramid level.
     share_trunk: bool = True
+    # Wide-head conv implementation: 'direct' (lax conv), 'fft' (Fourier
+    # matmuls, ops/fft_conv.py — 14x fewer FLOPs at the paper's 9x9x512
+    # head with the half column spectrum), or 'auto' (closed-form
+    # min(MXU, HBM)-roofline comparison per geometry and batch).
+    # Parameter layout is identical across impls.
+    head_conv_impl: str = "auto"
 
 
 @dataclass(frozen=True)

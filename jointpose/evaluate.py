@@ -238,6 +238,9 @@ def main(argv: list[str] | None = None) -> None:
         save_pdj_curves(ev, args.curves)
         print(f"curves -> {args.curves}")
     if args.json_out:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.json_out)), exist_ok=True)
         with open(args.json_out, "w") as f:
             json.dump(ev, f, indent=1)
         print(f"metrics -> {args.json_out}")

@@ -106,14 +106,47 @@ class Detector(nn.Module):
             # by summation before the shared head (SURVEY C6).
             full = full + _upsample2x(half)
 
-        y = nn.Conv(
-            cfg.head_features[0],
-            (cfg.head_kernel, cfg.head_kernel),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="head_wide",
-        )(full)
+        # The wide "FC-equivalent" head conv dominates paper-preset FLOPs
+        # (9x9x512 at 60x90 = 57.3 GFLOP/img direct); the Fourier-matmul
+        # impl (ops/fft_conv.py) computes it 8x cheaper with the same
+        # parameter layout.  'auto' compares closed-form FLOP counts.
+        impl = cfg.head_conv_impl
+        if impl == "auto":
+            from jointpose.ops.fft_conv import use_fourier
+
+            hm_hw = (full.shape[1], full.shape[2])
+            impl = (
+                "fft"
+                if use_fourier(
+                    hm_hw,
+                    (cfg.head_kernel, cfg.head_kernel),
+                    full.shape[-1],
+                    cfg.head_features[0],
+                    batch=full.shape[0],
+                )
+                else "direct"
+            )
+        if impl == "fft":
+            from jointpose.ops.fft_conv import FFTConv
+
+            head_wide = FFTConv(
+                cfg.head_features[0],
+                (cfg.head_kernel, cfg.head_kernel),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="head_wide",
+            )
+        else:
+            assert impl == "direct", cfg.head_conv_impl
+            head_wide = nn.Conv(
+                cfg.head_features[0],
+                (cfg.head_kernel, cfg.head_kernel),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="head_wide",
+            )
+        y = head_wide(full)
         y = nn.relu(y)
         for i, feats in enumerate(cfg.head_features[1:]):
             y = nn.Conv(

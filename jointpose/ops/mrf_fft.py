@@ -39,7 +39,7 @@ import numpy as np
 
 @functools.lru_cache(maxsize=16)
 def _dft_consts(
-    hm: tuple[int, int], window: tuple[int, int]
+    hm: tuple[int, int], window: tuple[int, int], real_cols: bool = False
 ) -> dict[str, np.ndarray]:
     """Real/imag DFT operator tables for one (heatmap, window) geometry.
 
@@ -49,10 +49,22 @@ def _dft_consts(
     output positions ((y - wh//2) mod Ph — the mod is free because the
     DFT basis is periodic).  All fp32 host constants, embedded into the
     jitted graph once per geometry.
+
+    ``real_cols=True`` exploits Hermitian symmetry of real inputs along
+    the column axis (rfft): the column operators keep only the
+    G = Pw//2 + 1 independent bins, and the inverse column operator
+    carries the conjugate-pair weights (2 for interior bins, 1 for the
+    DC and — when Pw is even — Nyquist bins), so the half-spectrum
+    reconstruction is EXACT while every bin-indexed tensor and the
+    pointwise product shrink ~2x.  Valid because rows-then-cols
+    transforms of real data satisfy X[-f,-g] = conj(X[f,g]), products
+    of Hermitian fields stay Hermitian, and after the full row inverse
+    T[y, Pw-g] = conj(T[y, g]) holds per output row.
     """
     (h, w), (wh, ww) = hm, window
     ph, pw = h + wh - 1, w + ww - 1
     ch, cw = (wh - 1) // 2, (ww - 1) // 2
+    ncols = pw // 2 + 1 if real_cols else pw
 
     def fwd(p: int, n: int) -> tuple[np.ndarray, np.ndarray]:
         # (p, n): X_f = F @ x for length-n data zero-padded to p.
@@ -75,6 +87,17 @@ def _dft_consts(
     gc = fwd(pw, ww)
     ir = inv(h, ph, ch)
     ic = inv(w, pw, cw)
+    if real_cols:
+        # Keep the G independent column bins; weight the inverse by the
+        # conjugate-pair multiplicity so the half sum equals the full
+        # sum's real part exactly.
+        alpha = np.full((ncols,), 2.0, np.float32)
+        alpha[0] = 1.0
+        if pw % 2 == 0:
+            alpha[-1] = 1.0
+        fc = (fc[0][:ncols], fc[1][:ncols])
+        gc = (gc[0][:ncols], gc[1][:ncols])
+        ic = (ic[0][:, :ncols] * alpha, ic[1][:, :ncols] * alpha)
     return {
         "fr_re": fr[0], "fr_im": fr[1],
         "fc_re": fc[0], "fc_im": fc[1],
@@ -110,7 +133,11 @@ def forward_ffts(p: jnp.ndarray, kernels: jnp.ndarray, precision):
     # Kv == Ka in the unsharded model; under model-axis TP each shard
     # carries a source-joint slice (Kv < Ka).
     assert kv == k, (kernels.shape, p.shape)
-    c = _dft_consts((h, w), (wh, ww))
+    # Half column spectrum (Hermitian symmetry of the real unaries and
+    # kernels): the sliced forward operators and pair-weighted inverse
+    # operators halve every bin-indexed tensor and the pointwise
+    # product, exactly — see _dft_consts.
+    c = _dft_consts((h, w), (wh, ww), real_cols=True)
     tables = {n: jnp.asarray(v) for n, v in c.items()}
 
     # Forward DFT of the unaries: (B, K, Ph, Pw) complex.

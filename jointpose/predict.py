@@ -71,9 +71,16 @@ def restore_params(
                 "crashed before the first eval, or legacy layout); pass an "
                 "explicit step or best=False for the latest"
             )
-    state = ckpt.restore(template, step=step)
+    if step is None:
+        step = ckpt.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {checkpoint_dir}")
+    # Params-only partial restore: inference must not depend on the
+    # saving run's optimizer layout (e.g. a train-time --mrf-lr-mult
+    # changes the opt_state pytree shape).
+    restored = ckpt.restore_subtree({"params": template.params}, step=step)
     ckpt.close()
-    return {"params": state.params}, int(state.step)
+    return {"params": restored["params"]}, int(step)
 
 
 def main(argv: list[str] | None = None) -> None:

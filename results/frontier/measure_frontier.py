@@ -1,0 +1,69 @@
+"""Measure the PDJ-vs-throughput frontier (round-2 verdict task 3).
+
+For each model point, compile the exact production inference program
+(bench.py's build_inference_fn: forward + softmax + decode) and record
+cost-analysis FLOPs/bytes per image + roofline img/s.  Run on the TPU
+backend so the numbers describe the real compiled program.
+
+Usage: python results/frontier/measure_frontier.py [batch]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax
+
+from bench import build_inference_fn
+from jointpose.configs import get_config
+from jointpose.perf import compiled_cost, roofline_images_per_sec
+
+POINTS = ["single_scale", "multires", "mrf", "joint", "eval_tta", "flagship"]
+
+
+def measure(name: str, batch: int) -> dict:
+    config = get_config(name)
+    model, forward = build_inference_fn(config)
+    rng = jax.random.PRNGKey(0)
+    images = jax.numpy.zeros((batch, *config.data.image_hw, 3), jax.numpy.float32)
+    params = model.init(rng, images[:1])
+    cost = compiled_cost(forward, params, images)
+    flops_img = cost["flops"] / batch
+    bytes_img = cost["bytes"] / batch
+    roof = roofline_images_per_sec(flops_img, bytes_img)
+    row = {
+        "preset": name,
+        "batch": batch,
+        "gflop_per_image": round(flops_img / 1e9, 3),
+        "mb_per_image": round(bytes_img / 1e6, 2),
+        "roofline_images_per_sec": round(roof, 1),
+        "mrf": None
+        if config.mrf is None
+        else {
+            "window": list(config.mrf.window),
+            "stride": config.mrf.stride,
+            "impl": config.mrf.impl,
+        },
+        "tta": config.eval_flip_tta,
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    rows = [measure(name, batch) for name in POINTS]
+    out = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "rows": rows,
+    }
+    with open("results/frontier/frontier_costs.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote results/frontier/frontier_costs.json")
+
+
+if __name__ == "__main__":
+    main()
