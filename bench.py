@@ -145,12 +145,19 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     images = jax.random.uniform(rng, (batch_size, *config.data.image_hw, 3), jnp.float32)
     params = model.init(rng, images[:1])
 
-    flops_per_image = compiled_cost(forward, params, images)["flops"] / batch_size
+    cost = compiled_cost(forward, params, images)
+    flops_per_image = cost["flops"] / batch_size
+    bytes_per_image = cost["bytes"] / batch_size
     measured = _timed_rate(forward, params, images, warmup=warmup, iters=iters) * batch_size
 
     on_tpu = jax.default_backend() == "tpu"
     probe = probe_clock_validity() if on_tpu else {"clock_valid": True}
-    roofline = PEAK_BF16_FLOPS * ASSUMED_MXU_UTIL / flops_per_image if on_tpu else None
+    # min(MXU, HBM) bound — the same model the frontier table uses.
+    from jointpose.perf import roofline_images_per_sec
+
+    roofline = (
+        roofline_images_per_sec(flops_per_image, bytes_per_image) if on_tpu else None
+    )
 
     # A wall clock that beats the 100%-of-peak bound for the measured
     # program is impossible even if the probe passed.
@@ -173,8 +180,12 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
         "wall_clock_images_per_sec": round(measured, 1),
         "flops_per_image": round(flops_per_image / 1e9, 3),
         "flops_unit": "GFLOP",
+        "bytes_per_image_mb": round(bytes_per_image / 1e6, 2),
         "roofline_images_per_sec": round(roofline, 1) if roofline else None,
-        "roofline_model": f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s * {ASSUMED_MXU_UTIL} / FLOPs-per-image",
+        "roofline_model": (
+            f"min({PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s * {ASSUMED_MXU_UTIL} / FLOPs-per-image,"
+            " 0.8 * 819 GB/s / bytes-per-image)"
+        ),
         **{k: v for k, v in (probe.items() if on_tpu else []) if k != "clock_valid"},
         **pallas_parity_check(),
     }

@@ -108,8 +108,9 @@ class Detector(nn.Module):
 
         # The wide "FC-equivalent" head conv dominates paper-preset FLOPs
         # (9x9x512 at 60x90 = 57.3 GFLOP/img direct); the Fourier-matmul
-        # impl (ops/fft_conv.py) computes it 8x cheaper with the same
-        # parameter layout.  'auto' compares closed-form FLOP counts.
+        # impl (ops/fft_conv.py) computes it ~14x cheaper with the same
+        # parameter layout.  'auto' picks the impl with the higher
+        # modeled min(MXU, HBM) roofline for this geometry and batch.
         impl = cfg.head_conv_impl
         if impl == "auto":
             from jointpose.ops.fft_conv import use_fourier

@@ -54,8 +54,12 @@ from __future__ import annotations
 import functools
 from typing import Any
 
+import jax
+import jax.lax as lax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from jointpose.ops.mrf_fft import _dft_consts
 from jointpose.perf import ASSUMED_MXU_UTIL, HBM_BYTES_PER_SEC, PEAK_BF16_FLOPS
@@ -159,16 +163,170 @@ def use_fourier(
     return r["fourier"] > margin * r["direct"]
 
 
-def fft_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, precision=None) -> jnp.ndarray:
-    """SAME cross-correlation conv via DFT matmuls.
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
-    Args:
-      x: (B, H, W, Ci); bf16 or fp32 — intermediates round to x.dtype
-        with fp32 accumulation inside every contraction.
-      kernel: (kh, kw, Ci, Co), any float dtype.
-    Returns:
-      (B, H, W, Co) in the compute dtype (bf16 for bf16 inputs, else
-      fp32); every contraction accumulates fp32 internally.
+
+def _tail_tiles(
+    ph: int, h: int, b: int, ci: int, co: int, itemsize: int
+) -> tuple[int, int, int] | None:
+    """(TB, CoT, FB) block sizes for the fused tail, or None if nothing
+    fits the VMEM budget (then the XLA tail runs instead).
+
+    Mosaic constrains only the LAST TWO block dims (divisible by 8/128
+    or equal to the array dim), so TB and CoT come from the constrained
+    candidate sets while the f (row-bin) axis is freely blocked and
+    accumulated across grid steps.  Preference order: full-MXU TB/CoT
+    first (pointwise matmul M/N utilization), then the largest FB.
+    """
+    tb_cands = [v for v in (128, 64, 32, 16, 8) if b % v == 0] or [b]
+    # CoT stays at 128 lanes: larger tiles multiply the fp32 partial-sum
+    # temporaries (h * TB * CoT * 8 bytes live during the row inverse) —
+    # a (32, 512, 8) tiling measured 17.1 MB scoped VMEM and failed to
+    # compile where (TB, 128, 8) shapes fit.
+    cot_cands = [128] if co % 128 == 0 else [co]
+    # The f-axis appears as the second-to-last dim of the (transposed)
+    # row-table block, so it must be 8-aligned (or the full Ph).
+    fb_cands = sorted(
+        (v for v in range(1, ph + 1) if ph % v == 0 and (v % 8 == 0 or v == ph)),
+        reverse=True,
+    )
+    # Empirically anchored against Mosaic's scoped-VMEM accounting (16 MB
+    # limit): the (128, 128, 8) paper-head tiling models at 18.3 MB here
+    # yet compiles (the scheduler overlaps buffer lifetimes the model
+    # charges separately), while the failing (32, 512, 8) models at 20.4.
+    budget = 19 * 2**20
+    for tb in tb_cands:
+        for cot in cot_cands:
+            for fb in fb_cands:
+                blocks = itemsize * 2 * (  # re+im array pairs
+                    fb * tb * ci + fb * ci * cot + h * tb * cot
+                ) + itemsize * 2 * h * fb  # inverse-row table slices
+                # fp32 temporaries: R re/im after the pointwise matmul,
+                # then the partial row-inverse sums before the cast.
+                temps = 4 * 2 * fb * tb * cot + 4 * 2 * h * tb * cot
+                vmem = 2 * blocks + temps  # 2x: double buffering
+                if vmem <= budget:
+                    return tb, cot, fb
+    return None
+
+
+def _tail_kernel(
+    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, tr_ref, ti_ref, *, precision
+):
+    """One (batch-tile, g bin, cout-tile, f-block) step: pointwise
+    complex matmul over Ci (batched over the FB row bins) + partial
+    complex inverse row DFT accumulated into the output block — the R
+    spectrum lives only in VMEM temporaries."""
+    f = pl.program_id(3)
+
+    @pl.when(f == 0)
+    def _():
+        tr_ref[:] = jnp.zeros_like(tr_ref)
+        ti_ref[:] = jnp.zeros_like(ti_ref)
+
+    xr = xr_ref[0]  # (FB, TB, Ci)
+    xi = xi_ref[0]
+    kr = kr_ref[0]  # (FB, Ci, CoT)
+    ki = ki_ref[0]
+    dn = (((2,), (1,)), ((0,), (0,)))  # contract Ci, batch over FB
+    bdot = functools.partial(
+        lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    rre = bdot(xr, kr) + bdot(xi, ki)  # (FB, TB, CoT) fp32
+    rim = bdot(xi, kr) - bdot(xr, ki)
+    fb, tb, cot = rre.shape
+    # Row tables arrive TRANSPOSED, (FB, H) — the f axis must sit in the
+    # sublane (second-to-last) position for TPU tiling — so the partial
+    # inverse contracts dim 0 of both operands: out[y, n] = Σ_f T[f, y] R[f, n].
+    irr, iri = irr_ref[:], iri_ref[:]  # (FB, H)
+    h = irr.shape[1]
+    mm = functools.partial(
+        lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    r2 = rre.reshape(fb, tb * cot).astype(xr.dtype)
+    i2 = rim.reshape(fb, tb * cot).astype(xr.dtype)
+    tre = mm(irr, r2) - mm(iri, i2)  # (H, TB*CoT) fp32 partial sum
+    tim = mm(irr, i2) + mm(iri, r2)
+    tr_ref[:, 0] += tre.reshape(h, tb, cot).astype(tr_ref.dtype)
+    ti_ref[:, 0] += tim.reshape(h, tb, cot).astype(ti_ref.dtype)
+
+
+def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
+    """Fused pointwise + inverse-row pass: (G,Ph,B,Ci) spectra ->
+    (H,G,B,Co) row-inverted responses, R never materialized in HBM."""
+    g, ph, b, ci = xr.shape
+    co = kr.shape[-1]
+    tiles = _tail_tiles(ph, h, b, ci, co, xr.dtype.itemsize)
+    if tiles is None:
+        return None
+    tb, cot, fb = tiles
+    # Mosaic's dot knows DEFAULT and HIGHEST; round bf16x3 (HIGH) up.
+    if precision in (lax.Precision.HIGH, lax.Precision.HIGHEST):
+        prec = lax.Precision.HIGHEST
+    else:
+        prec = lax.Precision.DEFAULT
+    # f innermost so the output block stays resident while its partial
+    # row-inverse sums accumulate.
+    grid = (b // tb, g, co // cot, ph // fb)
+
+    def x_spec():
+        return pl.BlockSpec(
+            (1, fb, tb, ci), lambda ib, gg, o, f: (gg, f, ib, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def k_spec():
+        return pl.BlockSpec(
+            (1, fb, ci, cot), lambda ib, gg, o, f: (gg, f, 0, o),
+            memory_space=pltpu.VMEM,
+        )
+
+    def c_spec():
+        # (FB, H) block of the transposed row table: H (full) in lanes,
+        # the 8-aligned FB slice in sublanes.
+        return pl.BlockSpec(
+            (fb, h), lambda ib, gg, o, f: (f, 0), memory_space=pltpu.VMEM
+        )
+
+    def t_spec():
+        return pl.BlockSpec(
+            (h, 1, tb, cot), lambda ib, gg, o, f: (0, gg, ib, o),
+            memory_space=pltpu.VMEM,
+        )
+
+    flops = int(
+        b * g * (8 * ph * ci * co)  # pointwise complex matmul
+        + b * g * (8 * h * ph * co)  # complex inverse row DFT
+    )
+    tr, ti = pl.pallas_call(
+        functools.partial(_tail_kernel, precision=prec),
+        grid=grid,
+        in_specs=[x_spec(), x_spec(), k_spec(), k_spec(), c_spec(), c_spec()],
+        out_specs=[t_spec(), t_spec()],
+        out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                2 * xr.size * xr.dtype.itemsize * (co // cot)
+                + 2 * kr.size * kr.dtype.itemsize * (b // tb)
+                + 2 * h * g * b * co * xr.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xr, xi, kr, ki, t["ir_re"].T, t["ir_im"].T)
+    return tr, ti
+
+
+def _fft_conv2d_impl(
+    x: jnp.ndarray, kernel: jnp.ndarray, precision, pallas_tail: bool
+) -> jnp.ndarray:
+    """Shared body; see fft_conv2d for the contract.
 
     Layout discipline: each einsum below is chosen so dot_general's
     natural result order (batch dims, lhs free, rhs free) equals the
@@ -184,7 +342,11 @@ def fft_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, precision=None) -> jnp.ndarr
     # Half column spectrum (rfft): real inputs make column bins beyond
     # Pw//2 redundant; the sliced/weighted operators halve X_f, K_f, R
     # and the pointwise matmul exactly (see _dft_consts docstring).
-    consts = _dft_consts((h, w), (kh, kw), real_cols=True)
+    # The fused tail blocks the row-bin axis, which needs 8-aligned
+    # slices — pad the row transform size up (still exact).
+    consts = _dft_consts(
+        (h, w), (kh, kw), real_cols=True, row_pad_to=8 if pallas_tail else 1
+    )
     dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     t = {k: jnp.asarray(v, dt) for k, v in consts.items()}
     # Intermediate dots output the compute dtype directly: a bf16 dot
@@ -208,19 +370,76 @@ def fft_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, precision=None) -> jnp.ndarr
     kr = em("gx,fxio->gfio", t["gc_re"], br_) - em("gx,fxio->gfio", t["gc_im"], bi_)
     ki = em("gx,fxio->gfio", t["gc_im"], br_) + em("gx,fxio->gfio", t["gc_re"], bi_)
 
-    # Cross-correlation product summed over Ci — a complex matmul at
-    # every (g, f) bin with bins as dot_general batch dims in BOTH
-    # operands (no transposes): R = conj(K_f) . X_f.
-    rr = em("gfbi,gfio->gfbo", xr, kr) + em("gfbi,gfio->gfbo", xi, ki)
-    ri = em("gfbi,gfio->gfbo", xi, kr) - em("gfbi,gfio->gfbo", xr, ki)
-
-    # Inverse DFT (SAME-crop folded into the operators): rows (complex),
-    # then cols keeping only the real part (the conjugate-pair weights
-    # live in the sliced ic tables).
-    tr = em("yf,gfbo->ygbo", t["ir_re"], rr) - em("yf,gfbo->ygbo", t["ir_im"], ri)
-    ti = em("yf,gfbo->ygbo", t["ir_re"], ri) + em("yf,gfbo->ygbo", t["ir_im"], rr)
+    tail = _pallas_tail(xr, xi, kr, ki, t, h, precision) if pallas_tail else None
+    if tail is None:
+        # Cross-correlation product summed over Ci — a complex matmul at
+        # every (g, f) bin with bins as dot_general batch dims in BOTH
+        # operands (no transposes): R = conj(K_f) . X_f.
+        rr = em("gfbi,gfio->gfbo", xr, kr) + em("gfbi,gfio->gfbo", xi, ki)
+        ri = em("gfbi,gfio->gfbo", xi, kr) - em("gfbi,gfio->gfbo", xr, ki)
+        # Inverse row DFT (complex; SAME-crop folded into the operator).
+        tr = em("yf,gfbo->ygbo", t["ir_re"], rr) - em("yf,gfbo->ygbo", t["ir_im"], ri)
+        ti = em("yf,gfbo->ygbo", t["ir_re"], ri) + em("yf,gfbo->ygbo", t["ir_im"], rr)
+    else:
+        tr, ti = tail
+    # Inverse column DFT keeping only the real part (the conjugate-pair
+    # weights live in the sliced ic tables).
     out = em("xg,ygbo->xybo", t["ic_re"], tr) - em("xg,ygbo->xybo", t["ic_im"], ti)
     return out.transpose(2, 1, 0, 3)  # (b, y, x, o) in the compute dtype
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fft_conv2d_fused(x, kernel, precision):
+    return _fft_conv2d_impl(x, kernel, precision, pallas_tail=True)
+
+
+def _fused_fwd(x, kernel, precision):
+    return _fft_conv2d_fused(x, kernel, precision), (x, kernel)
+
+
+def _fused_bwd(precision, residuals, g):
+    # The fused tail is mathematically identical to the XLA tail;
+    # differentiate that (recompute-in-backward, residuals stay tiny).
+    x, kernel = residuals
+    _, vjp = jax.vjp(
+        lambda x_, k_: _fft_conv2d_impl(x_, k_, precision, pallas_tail=False),
+        x, kernel,
+    )
+    return vjp(g)
+
+
+_fft_conv2d_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fft_conv2d(
+    x: jnp.ndarray, kernel: jnp.ndarray, precision=None, pallas_tail: bool = True
+) -> jnp.ndarray:
+    """SAME cross-correlation conv via DFT matmuls.
+
+    Args:
+      x: (B, H, W, Ci); bf16 or fp32 — intermediates round to x.dtype
+        with fp32 accumulation inside every contraction.
+      kernel: (kh, kw, Ci, Co), any float dtype.
+      pallas_tail: fuse the pointwise product + inverse row DFT in one
+        Pallas kernel so the R spectrum never reaches HBM (the largest
+        single traffic term); falls back to the pure-XLA tail when the
+        tiling doesn't fit VMEM.  Gradients recompute through the XLA
+        tail (custom VJP).
+    Returns:
+      (B, H, W, Co) in the compute dtype (bf16 for bf16 inputs, else
+      fp32); every contraction accumulates fp32 internally.
+    """
+    if pallas_tail:
+        ph = -(-(x.shape[1] + kernel.shape[0] - 1) // 8) * 8  # row-padded
+        itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+        if (
+            _tail_tiles(
+                ph, x.shape[1], x.shape[0], x.shape[-1], kernel.shape[-1], itemsize
+            )
+            is not None
+        ):
+            return _fft_conv2d_fused(x, kernel, precision)
+    return _fft_conv2d_impl(x, kernel, precision, pallas_tail=False)
 
 
 class FFTConv(nn.Module):

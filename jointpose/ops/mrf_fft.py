@@ -39,7 +39,10 @@ import numpy as np
 
 @functools.lru_cache(maxsize=16)
 def _dft_consts(
-    hm: tuple[int, int], window: tuple[int, int], real_cols: bool = False
+    hm: tuple[int, int],
+    window: tuple[int, int],
+    real_cols: bool = False,
+    row_pad_to: int = 1,
 ) -> dict[str, np.ndarray]:
     """Real/imag DFT operator tables for one (heatmap, window) geometry.
 
@@ -60,9 +63,14 @@ def _dft_consts(
     transforms of real data satisfy X[-f,-g] = conj(X[f,g]), products
     of Hermitian fields stay Hermitian, and after the full row inverse
     T[y, Pw-g] = conj(T[y, g]) holds per output row.
+
+    ``row_pad_to`` rounds the row transform size up to a multiple (a
+    larger circular size keeps linear correlation exact); kernels that
+    block the row-bin axis need it 8-aligned for TPU sublane tiling.
     """
     (h, w), (wh, ww) = hm, window
     ph, pw = h + wh - 1, w + ww - 1
+    ph = -(-ph // row_pad_to) * row_pad_to
     ch, cw = (wh - 1) // 2, (ww - 1) // 2
     ncols = pw // 2 + 1 if real_cols else pw
 

@@ -23,9 +23,34 @@ from jointpose.perf import compiled_cost, roofline_images_per_sec
 POINTS = ["single_scale", "multires", "mrf", "joint", "eval_tta", "flagship"]
 
 
+def build_tta_inference_fn(config):
+    """The TTA preset's real production graph: forward both orientations,
+    average unflipped probabilities, decode (bench.py times the plain
+    forward; the eval_tta frontier row must charge the 2x)."""
+    import jax.numpy as jnp
+
+    from jointpose.evaluate import flip_images, unflip_heatmaps
+    from jointpose.models.pose import PoseModel
+    from jointpose.ops.heatmaps import decode_probs, model_probs
+
+    model = PoseModel(config)
+    stride = config.data.heatmap_stride
+
+    def forward(params, images):
+        probs = model_probs(model.apply(params, images))
+        flipped = model_probs(model.apply(params, flip_images(images)))
+        probs = 0.5 * (probs + unflip_heatmaps(flipped))
+        return decode_probs(probs, stride, refine=config.decode_refine)
+
+    return model, jax.jit(forward)
+
+
 def measure(name: str, batch: int) -> dict:
     config = get_config(name)
-    model, forward = build_inference_fn(config)
+    if config.eval_flip_tta:
+        model, forward = build_tta_inference_fn(config)
+    else:
+        model, forward = build_inference_fn(config)
     rng = jax.random.PRNGKey(0)
     images = jax.numpy.zeros((batch, *config.data.image_hw, 3), jax.numpy.float32)
     params = model.init(rng, images[:1])

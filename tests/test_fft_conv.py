@@ -136,3 +136,35 @@ def test_detector_head_impls_agree():
     got = det_fft.apply(params, images)
     scale = float(jnp.max(jnp.abs(want)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4 * scale)
+
+
+def test_pallas_tail_matches_xla_tail():
+    # The fused pointwise+inverse-row kernel is bit-for-math identical
+    # to the XLA tail (fp32, HIGHEST).
+    rngs = jax.random.split(jax.random.PRNGKey(9), 2)
+    x = jax.random.normal(rngs[0], (4, 20, 24, 16), jnp.float32)
+    k = jax.random.normal(rngs[1], (9, 9, 16, 32), jnp.float32)
+    a = fft_conv2d(x, k, precision=lax.Precision.HIGHEST, pallas_tail=True)
+    b = fft_conv2d(x, k, precision=lax.Precision.HIGHEST, pallas_tail=False)
+    scale = float(jnp.max(jnp.abs(b)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5 * scale)
+
+
+def test_pallas_tail_gradients_match_xla_tail():
+    rngs = jax.random.split(jax.random.PRNGKey(10), 3)
+    x = jax.random.normal(rngs[0], (2, 12, 16, 8), jnp.float32)
+    k = jax.random.normal(rngs[1], (5, 5, 8, 8), jnp.float32)
+    g = jax.random.normal(rngs[2], (2, 12, 16, 8), jnp.float32)
+
+    def loss(tail):
+        def f(x_, k_):
+            return jnp.sum(
+                fft_conv2d(x_, k_, precision=lax.Precision.HIGHEST,
+                           pallas_tail=tail) * g
+            )
+        return jax.grad(f, argnums=(0, 1))(x, k)
+
+    ga, gb = loss(True), loss(False)
+    for a, b in zip(ga, gb):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale)
