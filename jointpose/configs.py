@@ -41,6 +41,12 @@ class DetectorConfig:
     trunk_kernel: int = 5
     # Which trunk stages are followed by a 2x2 maxpool; len == #pools.
     trunk_pool: tuple[bool, ...] = (True, True, False)
+    # How pooled stages downsample: 'max' = conv -> ReLU -> 2x2 maxpool
+    # (paper-faithful); 'stride' = stride-2 conv -> ReLU — same receptive
+    # field and parameter shapes, but the full-resolution feature map is
+    # never materialized, halving the stage's HBM traffic and quartering
+    # its conv FLOPs (the flagship preset is bandwidth-bound there).
+    pool_mode: str = "max"
     head_features: tuple[int, ...] = (512, 256)
     head_kernel: int = 9
     multires: bool = False
@@ -293,11 +299,14 @@ def _preset_tiny() -> Config:
 
 def _preset_flagship() -> Config:
     # Throughput-tuned flagship for bench.py: multires detector + MRF,
-    # bf16 compute, widths sized so >=10k img/s/chip is reachable on a
-    # v5e-class chip (BASELINE.json:5) while keeping the paper topology.
-    # FLOP budget (cost_analysis-verified): ~8.3 GFLOP/img, which at a
-    # conservative 60% MXU utilization of ~197 TFLOP/s bf16 gives
-    # ~14k img/s/chip; bytes/img keep the BW-bound ceiling above that.
+    # bf16 compute, widths sized so >=10k img/s/chip is comfortably
+    # cleared on a v5e-class chip (BASELINE.json:5) while keeping the
+    # paper topology.  pool_mode='stride' folds the 2x2 maxpools into
+    # stride-2 convs: the full-resolution trunk feature maps (the
+    # dominant HBM traffic of this bandwidth-bound model) are never
+    # materialized — cost_analysis 7.4 -> 6.0 GFLOP/img and 54 -> 40
+    # MB/img, min(MXU, HBM) roofline 12.2k -> 16.6k img/s/chip, with
+    # PDJ parity verified by a full retrain (BASELINE.md).
     return Config(
         name="flagship",
         detector=DetectorConfig(
@@ -306,6 +315,7 @@ def _preset_flagship() -> Config:
             head_features=(128, 96),
             head_kernel=5,
             multires=True,
+            pool_mode="stride",
         ),
         mrf=MRFConfig(window=(17, 25), stride=2),
         eval_flip_tta=False,

@@ -205,6 +205,11 @@ def main(argv: list[str] | None = None) -> None:
                         help="override the preset's eval_flip_tta")
     parser.add_argument("--refine", action=argparse.BooleanOptionalAction, default=None,
                         help="override the preset's decode_refine")
+    parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
+                        help="override the trunk downsampling mode — MUST "
+                             "match how the checkpoint was trained (the two "
+                             "modes share parameter shapes, so a mismatch "
+                             "restores cleanly but mis-evaluates)")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -221,6 +226,12 @@ def main(argv: list[str] | None = None) -> None:
         config = config.replace(eval_flip_tta=args.tta)
     if args.refine is not None:
         config = config.replace(decode_refine=args.refine)
+    if args.pool_mode is not None:
+        import dataclasses
+
+        config = config.replace(
+            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
+        )
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds

@@ -51,17 +51,21 @@ class Trunk(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        assert cfg.pool_mode in ("max", "stride"), cfg.pool_mode
+        stride_conv = cfg.pool_mode == "stride"
         for i, feats in enumerate(cfg.trunk_features):
+            pooled = cfg.trunk_pool[i]
             x = nn.Conv(
                 feats,
                 (cfg.trunk_kernel, cfg.trunk_kernel),
+                strides=(2, 2) if (pooled and stride_conv) else (1, 1),
                 padding="SAME",
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name=f"conv{i}",
             )(x)
             x = nn.relu(x)
-            if cfg.trunk_pool[i]:
+            if pooled and not stride_conv:
                 x = _pool2x2(x)
         return x
 

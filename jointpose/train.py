@@ -465,6 +465,9 @@ def main(argv: list[str] | None = None) -> None:
                         help="LR multiplier for the spatial-model subtree "
                              "(frozen-detector MRF training converges slowly "
                              "at the shared LR)")
+    parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
+                        help="trunk downsampling: paper maxpool or fused "
+                             "stride-2 conv (same param shapes)")
     parser.add_argument("--source", choices=["synthetic", "flic"], default=None)
     parser.add_argument("--eval-max-batches", type=int, default=None)
     parser.add_argument("--figures", action="store_true",
@@ -499,6 +502,10 @@ def main(argv: list[str] | None = None) -> None:
         tr["mrf_lr_mult"] = args.mrf_lr_mult
     if tr:
         config = config.replace(train=dataclasses.replace(config.train, **tr))
+    if args.pool_mode is not None:
+        config = config.replace(
+            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
+        )
     if args.source is not None:
         config = config.replace(
             data=dataclasses.replace(config.data, source=args.source)

@@ -100,3 +100,37 @@ def test_flagship_preset_builds():
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.shape == (1, *cfg.heatmap_hw, cfg.num_joints)
+
+
+def test_stride_pool_mode_same_shapes_and_params():
+    # 'stride' pooling keeps output shapes and the parameter pytree
+    # identical to 'max' pooling (checkpoint layout compatible).
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from jointpose.configs import DetectorConfig
+    from jointpose.models.detector import Detector
+
+    images = jnp.zeros((2, 32, 48, 3), jnp.float32)
+    base = DetectorConfig(
+        trunk_features=(8, 16),
+        trunk_pool=(True, True),
+        head_features=(16, 8),
+        head_kernel=5,
+        multires=True,
+    )
+    out = {}
+    params = {}
+    for mode in ("max", "stride"):
+        det = Detector(
+            config=dataclasses.replace(base, pool_mode=mode), num_joints=9
+        )
+        p = det.init(jax.random.PRNGKey(0), images)
+        params[mode] = p
+        out[mode] = det.apply(p, images)
+    assert out["max"].shape == out["stride"].shape == (2, 8, 12, 9)
+    assert jax.tree.structure(params["max"]) == jax.tree.structure(params["stride"])
+    for a, b in zip(jax.tree.leaves(params["max"]), jax.tree.leaves(params["stride"])):
+        assert a.shape == b.shape
