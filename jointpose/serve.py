@@ -120,10 +120,20 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--port", type=int, default=8471)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
+                        help="override the trunk downsampling mode — must "
+                             "match how the checkpoint was trained")
     args = parser.parse_args(argv)
 
+    config = get_config(args.config)
+    if args.pool_mode is not None:
+        import dataclasses
+
+        config = config.replace(
+            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
+        )
     service = PoseService(
-        get_config(args.config), args.checkpoint, args.batch_size, step=args.step
+        config, args.checkpoint, args.batch_size, step=args.step
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")
