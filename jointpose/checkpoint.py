@@ -14,6 +14,8 @@ orbax.  TWO managers back the lifecycle:
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any
 
@@ -21,12 +23,73 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+RUN_METADATA_FILE = "run_config.json"
+
+
+def load_run_metadata(directory: str) -> dict | None:
+    """The saving run's recorded config, or None (pre-metadata runs)."""
+    path = os.path.join(os.path.abspath(directory), RUN_METADATA_FILE)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def reconcile_config(config, checkpoint_dir: str, pool_mode: str | None = None):
+    """Resolve the architecture-mode config for restoring a checkpoint.
+
+    The trunk's pool_mode changes behavior but not parameter shapes, so
+    a mismatched restore succeeds and silently mis-evaluates — the
+    classic trap being a checkpoint trained before a preset's default
+    changed.  Priority: explicit CLI override > recorded checkpoint
+    metadata > preset default; an override that CONTRADICTS recorded
+    metadata is an error, and recorded metadata silently corrects a
+    drifted preset default (with a notice).
+    """
+    from jointpose.configs import with_pool_mode
+
+    meta = load_run_metadata(checkpoint_dir) or {}
+    recorded = meta.get("pool_mode")
+    if pool_mode is not None:
+        if recorded is not None and recorded != pool_mode:
+            raise ValueError(
+                f"--pool-mode {pool_mode!r} contradicts the checkpoint's "
+                f"recorded trunk mode {recorded!r} ({checkpoint_dir}); the "
+                "modes share param shapes, so overriding would restore "
+                "cleanly and silently mis-evaluate"
+            )
+        return with_pool_mode(config, pool_mode)
+    if recorded is not None and recorded != config.detector.pool_mode:
+        print(
+            f"[checkpoint] adopting recorded pool_mode={recorded!r} "
+            f"(preset default {config.detector.pool_mode!r})"
+        )
+        return with_pool_mode(config, recorded)
+    return config
+
 
 class Checkpointer:
-    """Thin lifecycle wrapper so train.py stays free of orbax details."""
+    """Thin lifecycle wrapper so train.py stays free of orbax details.
 
-    def __init__(self, directory: str, keep: int = 3):
+    Pass ``config`` from training runs: the first save records it as
+    ``run_config.json`` next to the managers, and a resume with a
+    contradicting architecture mode fails fast instead of silently
+    training a different network on restored weights.
+    """
+
+    def __init__(self, directory: str, keep: int = 3, config=None):
         self.directory = os.path.abspath(directory)
+        self._config = config
+        if config is not None:
+            recorded = (load_run_metadata(self.directory) or {}).get("pool_mode")
+            if recorded is not None and recorded != config.detector.pool_mode:
+                raise ValueError(
+                    f"checkpoint dir {self.directory} was written with "
+                    f"pool_mode={recorded!r} but this run uses "
+                    f"{config.detector.pool_mode!r}; pass --pool-mode "
+                    f"{recorded} (param shapes match, behavior doesn't)"
+                )
         # Legacy layout (step dirs directly under `directory`, from the
         # earlier single-manager design): serve reads from it as-is.
         legacy_steps = [
@@ -56,6 +119,19 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
+        if self._config is not None:
+            path = os.path.join(self.directory, RUN_METADATA_FILE)
+            if not os.path.exists(path):
+                os.makedirs(self.directory, exist_ok=True)
+                meta = {
+                    "config_name": self._config.name,
+                    "pool_mode": self._config.detector.pool_mode,
+                    "config": dataclasses.asdict(self._config),
+                }
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f, indent=1, default=str)
+                os.replace(tmp, path)
         metrics = {
             k: float(v)
             for k, v in (metrics or {}).items()

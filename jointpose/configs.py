@@ -338,3 +338,16 @@ def get_config(name: str) -> Config:
     if name not in PRESETS:
         raise KeyError(f"unknown config preset {name!r}; have {sorted(PRESETS)}")
     return PRESETS[name]()
+
+
+def with_pool_mode(config: Config, pool_mode: str) -> Config:
+    """Config with the detector trunk's downsampling mode replaced.
+
+    The two modes ('max' pool vs folded stride-2 convs) share parameter
+    shapes by design, so checkpoints restore across them — but silently
+    mis-evaluate on a mismatch.  Every CLI override and every
+    checkpoint-metadata reconciliation goes through this one helper.
+    """
+    return config.replace(
+        detector=dataclasses.replace(config.detector, pool_mode=pool_mode)
+    )

@@ -206,10 +206,10 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--refine", action=argparse.BooleanOptionalAction, default=None,
                         help="override the preset's decode_refine")
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
-                        help="override the trunk downsampling mode — MUST "
-                             "match how the checkpoint was trained (the two "
-                             "modes share parameter shapes, so a mismatch "
-                             "restores cleanly but mis-evaluates)")
+                        help="override the trunk downsampling mode (normally "
+                             "auto-adopted from the checkpoint's recorded "
+                             "run_config.json; an override contradicting the "
+                             "record is an error)")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -226,12 +226,9 @@ def main(argv: list[str] | None = None) -> None:
         config = config.replace(eval_flip_tta=args.tta)
     if args.refine is not None:
         config = config.replace(decode_refine=args.refine)
-    if args.pool_mode is not None:
-        import dataclasses
+    from jointpose.checkpoint import reconcile_config
 
-        config = config.replace(
-            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
-        )
+    config = reconcile_config(config, args.checkpoint, args.pool_mode)
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds

@@ -62,6 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jointpose.ops.mrf_fft import _dft_consts
+from jointpose.ops.pallas_env import use_interpret as _use_interpret
 from jointpose.perf import ASSUMED_MXU_UTIL, HBM_BYTES_PER_SEC, PEAK_BF16_FLOPS
 
 
@@ -163,10 +164,6 @@ def use_fourier(
     return r["fourier"] > margin * r["direct"]
 
 
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def _tail_tiles(
     ph: int, h: int, b: int, ci: int, co: int, itemsize: int
 ) -> tuple[int, int, int] | None:
@@ -256,20 +253,11 @@ def _tail_kernel(
     ti_ref[:, 0] += tim.reshape(h, tb, cot).astype(ti_ref.dtype)
 
 
-def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
-    """Fused pointwise + inverse-row pass: (G,Ph,B,Ci) spectra ->
-    (H,G,B,Co) row-inverted responses, R never materialized in HBM."""
+def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
+               fb: int, prec):
+    """The pallas_call itself, tiling fixed — see _pallas_tail."""
     g, ph, b, ci = xr.shape
     co = kr.shape[-1]
-    tiles = _tail_tiles(ph, h, b, ci, co, xr.dtype.itemsize)
-    if tiles is None:
-        return None
-    tb, cot, fb = tiles
-    # Mosaic's dot knows DEFAULT and HIGHEST; round bf16x3 (HIGH) up.
-    if precision in (lax.Precision.HIGH, lax.Precision.HIGHEST):
-        prec = lax.Precision.HIGHEST
-    else:
-        prec = lax.Precision.DEFAULT
     # f innermost so the output block stays resident while its partial
     # row-inverse sums accumulate.
     grid = (b // tb, g, co // cot, ph // fb)
@@ -319,8 +307,67 @@ def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(xr, xi, kr, ki, t["ir_re"].T, t["ir_im"].T)
+    )(xr, xi, kr, ki, irr_t, iri_t)
     return tr, ti
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_compile_ok(
+    g: int, ph: int, b: int, ci: int, co: int, h: int, dtype_name: str,
+    tb: int, cot: int, fb: int, prec,
+) -> bool:
+    """One-time AOT probe that the fused tail actually compiles.
+
+    ``_tail_tiles`` models Mosaic's scoped-VMEM accounting against an
+    empirically anchored budget; near the 16 MB boundary the model can
+    accept a tiling the real compiler rejects, and a Mosaic compile
+    error inside the user's jit would crash training/serving with no
+    way to catch it there.  Probing the bare pallas_call once per
+    geometry (memoized for the process) turns that crash into a clean
+    XLA-tail fallback.  Cost: one extra tail-only compile per distinct
+    geometry — small against any real run.
+    """
+    if _use_interpret():
+        return True
+    dt = jnp.dtype(dtype_name)
+    shapes = [
+        jax.ShapeDtypeStruct((g, ph, b, ci), dt),
+        jax.ShapeDtypeStruct((g, ph, b, ci), dt),
+        jax.ShapeDtypeStruct((g, ph, ci, co), dt),
+        jax.ShapeDtypeStruct((g, ph, ci, co), dt),
+        jax.ShapeDtypeStruct((ph, h), dt),
+        jax.ShapeDtypeStruct((ph, h), dt),
+    ]
+    fn = functools.partial(_tail_call, h=h, tb=tb, cot=cot, fb=fb, prec=prec)
+    try:
+        jax.jit(fn).lower(*shapes).compile()
+        return True
+    except Exception:
+        return False
+
+
+def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
+    """Fused pointwise + inverse-row pass: (G,Ph,B,Ci) spectra ->
+    (H,G,B,Co) row-inverted responses, R never materialized in HBM.
+    Returns None (caller falls back to the XLA tail) when no tiling
+    fits VMEM or the probe compile fails."""
+    g, ph, b, ci = xr.shape
+    co = kr.shape[-1]
+    tiles = _tail_tiles(ph, h, b, ci, co, xr.dtype.itemsize)
+    if tiles is None:
+        return None
+    tb, cot, fb = tiles
+    # Mosaic's dot knows DEFAULT and HIGHEST; round bf16x3 (HIGH) up.
+    if precision in (lax.Precision.HIGH, lax.Precision.HIGHEST):
+        prec = lax.Precision.HIGHEST
+    else:
+        prec = lax.Precision.DEFAULT
+    if not _tail_compile_ok(g, ph, b, ci, co, h, str(xr.dtype), tb, cot, fb, prec):
+        return None
+    return _tail_call(
+        xr, xi, kr, ki, t["ir_re"].T, t["ir_im"].T,
+        h=h, tb=tb, cot=cot, fb=fb, prec=prec,
+    )
 
 
 def _fft_conv2d_impl(

@@ -37,10 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jointpose.ops.mrf_fft import forward_ffts, mrf_message_pass_fft
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from jointpose.ops.pallas_env import use_interpret as _use_interpret
 
 
 def _batch_tile(b: int) -> int:

@@ -31,12 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jointpose.ops.mrf_xla import pairwise_conv
+from jointpose.ops.pallas_env import use_interpret as _use_interpret
 
 _ROWS = 512  # rows (pixels) per grid step; 512*81*4B = 166 KB of VMEM
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _fwd_kernel(resp_ref, bias_ref, out_ref, *, kv: int, ka: int, eps: float):

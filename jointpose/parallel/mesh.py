@@ -5,11 +5,14 @@ shardings, let XLA insert the collectives.
 
 - ``data`` axis: batch dimension of every batch array; the train step's
   gradient mean becomes an XLA allreduce over ICI.
-- ``model`` axis: the MRF pairwise-kernel tensor (wh, ww, K_v, K_a)
-  shards its *target-joint* axis, which partitions the grouped conv's
-  output channels; every other param is replicated.  For a ~1M-param
-  CNN this axis exists to prove out the sharding machinery (SURVEY §2:
-  TP "optional"), and composes with DP on a 2-D mesh.
+- ``model`` axis: the detector head's wide conv shards its OUTPUT
+  channels and the following 1x1 its INPUT channels (classic conv TP,
+  see ``param_shardings``); the MRF message pass shards its
+  *source-joint* axis at the activation level instead (shard_map +
+  psum, parallel/mrf_tp.py) because K=9 divides no even axis, so its
+  pairwise params stay replicated.  For a ~1M-param CNN this axis
+  exists to prove out the sharding machinery (SURVEY §2: TP
+  "optional"), and composes with DP on a 2-D mesh.
 
 No NCCL/MPI analog exists or is needed: collectives are compiled by
 XLA (ICI intra-slice; DCN across hosts via ``init_distributed``).

@@ -19,15 +19,27 @@ HBM_BYTES_PER_SEC = 819e9
 ASSUMED_MXU_UTIL = 0.60
 
 
-def compiled_cost(jitted, *args) -> dict:
-    """{'flops', 'bytes'} of the compiled program for these args."""
-    cost = jitted.lower(*args).compile().cost_analysis()
+def aot_compile(jitted, *args):
+    """AOT-compile ``jitted`` for these args -> (executable, cost dict).
+
+    ``jitted.lower().compile()`` does NOT populate jax.jit's call cache,
+    so a caller that reads the cost and then calls ``jitted(...)`` pays
+    the (identical) compile twice.  Callers that will execute the
+    program should run it THROUGH the returned executable instead.
+    """
+    compiled = jitted.lower(*args).compile()
+    cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
-    return {
+    return compiled, {
         "flops": float(cost.get("flops", 0.0)),
         "bytes": float(cost.get("bytes accessed", 0.0)),
     }
+
+
+def compiled_cost(jitted, *args) -> dict:
+    """{'flops', 'bytes'} only — use aot_compile when also executing."""
+    return aot_compile(jitted, *args)[1]
 
 
 def roofline_images_per_sec(flops_per_image: float, bytes_per_image: float = 0.0):

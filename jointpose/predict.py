@@ -97,17 +97,13 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--figures", action="store_true")
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
-                        help="override the trunk downsampling mode — must "
-                             "match how the checkpoint was trained")
+                        help="override the trunk downsampling mode (normally "
+                             "auto-adopted from the checkpoint's metadata)")
     args = parser.parse_args(argv)
 
-    config = get_config(args.config)
-    if args.pool_mode is not None:
-        import dataclasses
+    from jointpose.checkpoint import reconcile_config
 
-        config = config.replace(
-            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
-        )
+    config = reconcile_config(get_config(args.config), args.checkpoint, args.pool_mode)
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     predict = build_predictor(config, params)
     train_ds, test_ds = make_dataset(config.data)

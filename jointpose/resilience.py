@@ -134,8 +134,12 @@ class Supervisor:
         exits (EXIT_PREEMPTED) always resume and don't consume it.
       heartbeat_timeout: seconds of heartbeat silence before the child
         is declared hung.  Only enforced once a first heartbeat exists,
-        so long compiles don't trip it; bound compile time separately
-        via start_timeout if needed.
+        so the initial compile doesn't trip it (bound it separately via
+        start_timeout if needed) — but it MUST exceed the longest
+        single blocking interval after that: a stage-boundary compile,
+        a full eval, a checkpoint save.  Hang-kills charge the failure
+        budget (a deterministic stall must not restart-loop forever),
+        so a too-tight timeout costs real restarts.
       start_timeout: optional seconds to wait for the FIRST heartbeat.
     """
 
@@ -144,7 +148,7 @@ class Supervisor:
         cmd: list[str],
         workdir: str,
         max_restarts: int = 3,
-        heartbeat_timeout: float = 600.0,
+        heartbeat_timeout: float = 1800.0,
         poll_interval: float = 0.5,
         grace: float = 30.0,
         start_timeout: float | None = None,
@@ -215,9 +219,13 @@ class Supervisor:
                 self._log("done")
                 return 0
             resumed_cmd = cmd if "--resume" in cmd else cmd + ["--resume"]
-            if rc == EXIT_PREEMPTED:
-                # Clean preemption checkpoint: always resume, free of
-                # charge — the work is intact.
+            if rc == EXIT_PREEMPTED and why == "exit":
+                # Clean EXTERNAL preemption checkpoint: always resume,
+                # free of charge — the work is intact.  A hang-kill also
+                # surfaces as EXIT_PREEMPTED (our own SIGTERM triggers
+                # the child's preemption handler), so the `why` guard is
+                # what keeps a deterministic stall from restart-looping
+                # past the failure budget forever.
                 self._log("preempted", rc=rc)
                 cmd = resumed_cmd
                 continue
@@ -235,7 +243,7 @@ def main(argv: list[str] | None = None) -> int:
         usage="python -m jointpose.resilience [opts] -- <jointpose.train args>",
     )
     parser.add_argument("--max-restarts", type=int, default=3)
-    parser.add_argument("--heartbeat-timeout", type=float, default=600.0)
+    parser.add_argument("--heartbeat-timeout", type=float, default=1800.0)
     parser.add_argument("--start-timeout", type=float, default=None)
     parser.add_argument("train_args", nargs=argparse.REMAINDER,
                         help="arguments for jointpose.train after '--'")

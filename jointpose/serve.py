@@ -121,17 +121,13 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--step", type=int, default=None)
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
-                        help="override the trunk downsampling mode — must "
-                             "match how the checkpoint was trained")
+                        help="override the trunk downsampling mode (normally "
+                             "auto-adopted from the checkpoint's metadata)")
     args = parser.parse_args(argv)
 
-    config = get_config(args.config)
-    if args.pool_mode is not None:
-        import dataclasses
+    from jointpose.checkpoint import reconcile_config
 
-        config = config.replace(
-            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
-        )
+    config = reconcile_config(get_config(args.config), args.checkpoint, args.pool_mode)
     service = PoseService(
         config, args.checkpoint, args.batch_size, step=args.step
     )

@@ -230,7 +230,10 @@ def fit(
         )
     logger = MetricLogger(workdir)
     ckpt = Checkpointer(
-        f"{workdir}/{config.train.checkpoint_dir}", keep=config.train.keep_checkpoints
+        f"{workdir}/{config.train.checkpoint_dir}",
+        keep=config.train.keep_checkpoints,
+        config=config,  # records the architecture mode; fails fast on
+        # a resume whose pool_mode contradicts the saved run's
     )
     train_ds, test_ds = make_dataset(config.data)
     # Model-axis TP (MRF source-joint sharding) engages only on real
@@ -255,10 +258,10 @@ def fit(
     joint_steps = config.train.joint_steps if config.mrf is not None else 0
     total_steps = det_steps + joint_steps
 
-    # Fuse batch generation into the step for the synthetic source (the
-    # generator is a pure jittable fn; FLIC's host arrays would embed as
-    # giant constants, so that path stays two-dispatch).
-    fused = config.data.source == "synthetic"
+    # Fuse batch generation into the step for on-device sources (the
+    # generator is a pure jittable fn; host-resident sources' arrays
+    # would embed as giant constants, so that path stays two-dispatch).
+    fused = not train_ds.host_resident
     gen = train_ds.get_batch if fused else None
     step_fns = {
         "detector": make_train_step(config, "detector", get_batch=gen),
@@ -274,10 +277,14 @@ def fit(
     def log_stage_cost(stage: str, step_fn, state, batch) -> None:
         if stage in stage_costs or jax.default_backend() != "tpu":
             return
-        from jointpose.perf import compiled_cost, roofline_images_per_sec
+        from jointpose.perf import aot_compile, roofline_images_per_sec
 
         try:
-            cost = compiled_cost(step_fn, state, batch)
+            compiled, cost = aot_compile(step_fn, state, batch)
+            # Execute through the AOT executable from here on — the AOT
+            # compile does not populate jit's call cache, so keeping the
+            # jit wrapper would compile the identical program twice.
+            step_fns[stage] = compiled
         except Exception:  # cost analysis is best-effort diagnostics
             stage_costs[stage] = None
             return
@@ -331,7 +338,11 @@ def fit(
     # at the next step boundary and exit EXIT_PREEMPTED for auto-resume.
     heartbeat = Heartbeat(workdir)
     preemption = PreemptionHandler().install()
-    heartbeat.beat(step)
+    # Deliberately NO beat before the step loop: the supervisor only
+    # enforces its hang timeout once a first heartbeat exists, so the
+    # arbitrarily long first compile is exempt by design (bound it via
+    # start_timeout if needed).  An early beat here would start the
+    # clock and get a healthy compiling child killed.
 
     from jointpose.evaluate import make_eval_step
 
@@ -367,6 +378,10 @@ def fit(
             pdj_at_05_wrist_elbow=ev["pdj_at_05_wrist_elbow"],
             **{f"pdj05/{k}": v for k, v in ev["pdj_at_05"].items()},
         )
+        # Evals (and their first-time compiles) block the step loop for
+        # minutes; beat so the supervisor's hang detector knows we are
+        # alive.  Size heartbeat_timeout above the longest single eval.
+        heartbeat.beat(step)
         return ev
 
     while step < total_steps:
@@ -376,6 +391,7 @@ def fit(
             priors = estimate_priors(train_ds, config, max_examples=2048)
             state = init_mrf_from_priors(state, priors)
             mrf_initialized = True
+            heartbeat.beat(step)  # prior estimation blocks the loop too
             if save_figures:
                 from jointpose.visualize import save_prior_grid
 
@@ -428,6 +444,7 @@ def fit(
             # head IS the full model, so every eval qualifies.
             is_full_model = config.mrf is None or final_eval["eval_stage"] == "joint"
             ckpt.save(step, state, metrics=final_eval if is_full_model else None)
+            heartbeat.beat(step)  # the blocking save counts as liveness too
 
     if final_eval and save_figures:
         from jointpose.visualize import save_heatmap_overlays, save_pdj_curves
@@ -503,9 +520,9 @@ def main(argv: list[str] | None = None) -> None:
     if tr:
         config = config.replace(train=dataclasses.replace(config.train, **tr))
     if args.pool_mode is not None:
-        config = config.replace(
-            detector=dataclasses.replace(config.detector, pool_mode=args.pool_mode)
-        )
+        from jointpose.configs import with_pool_mode
+
+        config = with_pool_mode(config, args.pool_mode)
     if args.source is not None:
         config = config.replace(
             data=dataclasses.replace(config.data, source=args.source)

@@ -68,3 +68,49 @@ def test_latest_survives_declining_metric(tiny_config, tmp_path):
     best = ckpt.restore(_state(tiny_config, seed=9), step=ckpt.best_step())
     assert int(best.step) == 1
     ckpt.close()
+
+
+def test_run_metadata_recorded_and_reconciled(tiny_config, tmp_path):
+    # Review finding: pool_mode changes behavior but not param shapes, so
+    # a mismatched restore silently mis-evaluates.  The first save must
+    # record the mode; restore-side reconcile adopts it over a drifted
+    # preset default and rejects a contradicting CLI override.
+    from jointpose.checkpoint import load_run_metadata, reconcile_config
+    from jointpose.configs import with_pool_mode
+
+    cfg = with_pool_mode(tiny_config, "stride")
+    path = str(tmp_path / "ck")
+    ckpt = Checkpointer(path, keep=1, config=cfg)
+    ckpt.save(0, _state(cfg))
+    ckpt.close()
+
+    meta = load_run_metadata(path)
+    assert meta is not None and meta["pool_mode"] == "stride"
+
+    # Drifted preset default ('max') -> recorded mode wins.
+    adopted = reconcile_config(tiny_config, path)
+    assert adopted.detector.pool_mode == "stride"
+    # Explicit matching override passes through.
+    assert reconcile_config(tiny_config, path, "stride").detector.pool_mode == "stride"
+    # Contradicting override is an error, not a silent mis-evaluation.
+    import pytest
+
+    with pytest.raises(ValueError, match="contradicts"):
+        reconcile_config(tiny_config, path, "max")
+    # No metadata (pre-metadata runs): override and default still work.
+    assert reconcile_config(tiny_config, str(tmp_path / "nope"), "max").detector.pool_mode == "max"
+    assert reconcile_config(cfg, str(tmp_path / "nope")).detector.pool_mode == "stride"
+
+
+def test_resume_with_wrong_pool_mode_fails_fast(tiny_config, tmp_path):
+    import pytest
+
+    from jointpose.configs import with_pool_mode
+
+    cfg_max = with_pool_mode(tiny_config, "max")
+    path = str(tmp_path / "ck")
+    ckpt = Checkpointer(path, keep=1, config=cfg_max)
+    ckpt.save(0, _state(cfg_max))
+    ckpt.close()
+    with pytest.raises(ValueError, match="pool_mode"):
+        Checkpointer(path, keep=1, config=with_pool_mode(tiny_config, "stride"))

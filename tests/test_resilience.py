@@ -144,7 +144,9 @@ def test_sigterm_preempts_with_checkpoint(tmp_path):
     try:
         # Wait for training to actually progress (first heartbeat step>=3).
         hb_path = os.path.join(wd, "heartbeat.json")
-        deadline = time.time() + 240
+        # Generous: a contended CI box can take minutes of jax import +
+        # first compile before the subprocess reaches its step loop.
+        deadline = time.time() + 600
         while time.time() < deadline:
             try:
                 with open(hb_path) as f:
