@@ -77,11 +77,14 @@ def heatmap_to_coords(
     heatmap stride with a half-stride center offset.  Returned as (x, y).
 
     ``refine=True`` adds sub-heatmap-pixel precision beyond the
-    reference: a softmax-weighted centroid over the 3x3 neighborhood of
-    the argmax (gather-free — built from ±1 spatial rolls, so it stays
-    one fused XLA program).  At stride 4 this removes most of the ~2.5px
-    quantization error, which is significant against the 0.05-torso PDJ
-    threshold.
+    reference: a value-weighted centroid over the 3x3 neighborhood of
+    the argmax, computed AT the argmax only via nine per-joint gathers.
+    (An earlier version computed the centroid field for every heatmap
+    pixel and then kept one — a dozen full-map fp32 intermediates,
+    measured 16.6 MB/img on the flagship bench, the largest single HBM
+    term of the whole inference program.)  At stride 4 the refinement
+    removes most of the ~2.5px quantization error, which is significant
+    against the 0.05-torso PDJ threshold.
     """
     hm_h, hm_w = heatmaps.shape[-3], heatmaps.shape[-2]
     flat = heatmaps.reshape(*heatmaps.shape[:-3], hm_h * hm_w, heatmaps.shape[-1])
@@ -91,53 +94,48 @@ def heatmap_to_coords(
     coords_hm = jnp.stack([xx, yy], axis=-1)  # (..., K, 2) in heatmap px
 
     if refine:
-        h = heatmaps.astype(jnp.float32)
+        h = flat.astype(jnp.float32)  # (..., Hm*Wm, K)
+        iy = (idx // hm_w).astype(jnp.int32)
+        ix = (idx % hm_w).astype(jnp.int32)
         shifts = [
             (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
         ]
-        rolled = lambda dy, dx: jnp.roll(h, (-dy, -dx), axis=(-3, -2))
-        # Border masks: jnp.roll wraps, which would mix the opposite edge
-        # into border-cell neighborhoods (a measured ~2-4px error on
-        # edge peaks).  valid(dy, dx) marks cells whose (y+dy, x+dx)
-        # neighbor actually exists; wrapped neighbors get zero weight and
-        # are excluded from the local-min floor.
-        yy = jnp.arange(hm_h).reshape(
-            (1,) * (h.ndim - 3) + (hm_h, 1, 1)
-        )
-        xx = jnp.arange(hm_w).reshape(
-            (1,) * (h.ndim - 3) + (1, hm_w, 1)
-        )
 
-        def valid(dy, dx):
-            vy = (yy + dy >= 0) & (yy + dy < hm_h)
-            vx = (xx + dx >= 0) & (xx + dx < hm_w)
-            return (vy & vx).astype(jnp.float32)
+        def neighbor(dy, dx):
+            # Out-of-bounds neighbors (the argmax sits on a border) get
+            # zero weight and are excluded from the local-min floor; the
+            # clipped gather index only keeps the gather in bounds.
+            ny, nx = iy + dy, ix + dx
+            ok = (
+                (ny >= 0) & (ny < hm_h) & (nx >= 0) & (nx < hm_w)
+            ).astype(jnp.float32)
+            nidx = jnp.clip(ny, 0, hm_h - 1) * hm_w + jnp.clip(nx, 0, hm_w - 1)
+            val = jnp.take_along_axis(h, nidx[..., None, :], axis=-2)[..., 0, :]
+            return val, ok  # (..., K) each
 
+        vals = {s: neighbor(*s) for s in shifts}
+        center = vals[(0, 0)][0]
         # Value-weighted centroid (heatmaps are probabilities/Gaussians);
         # values are floored at zero relative to the local minimum over
-        # VALID neighbors so log-space inputs also behave.  Folded sums
-        # keep peak memory at one heatmap copy.
-        m = h
+        # VALID neighbors so log-space inputs also behave.  Invalid
+        # slots contribute the center value to the min (a no-op), same
+        # as the full-map formulation this replaces.
+        m = center
+        for s in shifts:
+            if s != (0, 0):
+                val, ok = vals[s]
+                m = jnp.minimum(m, jnp.where(ok > 0, val, center))
+        den = jnp.zeros_like(center)
+        num_x = jnp.zeros_like(center)
+        num_y = jnp.zeros_like(center)
         for dy, dx in shifts:
-            if (dy, dx) != (0, 0):
-                r = rolled(dy, dx)
-                m = jnp.minimum(m, jnp.where(valid(dy, dx) > 0, r, h))
-        den = jnp.zeros_like(h)
-        num_x = jnp.zeros_like(h)
-        num_y = jnp.zeros_like(h)
-        for dy, dx in shifts:
-            wgt = (rolled(dy, dx) - m) * valid(dy, dx)
+            val, ok = vals[(dy, dx)]
+            wgt = (val - m) * ok
             den = den + wgt
             num_x = num_x + dx * wgt
             num_y = num_y + dy * wgt
         den = jnp.maximum(den, 1e-12)
-        delta = jnp.stack([num_x / den, num_y / den], axis=-1)
-        flat_delta = delta.reshape(
-            *delta.shape[:-4], hm_h * hm_w, delta.shape[-2], 2
-        )
-        sel = jnp.take_along_axis(
-            flat_delta, idx[..., None, :, None].astype(jnp.int32), axis=-3
-        )[..., 0, :, :]  # (..., K, 2)
+        sel = jnp.stack([num_x / den, num_y / den], axis=-1)  # (..., K, 2)
         # A peak sitting ON the border sees only a half-window, whose
         # centroid is inherently pulled inward — the unrefined coordinate
         # is more accurate there, so zero that axis' offset.
