@@ -168,3 +168,21 @@ def test_pallas_tail_gradients_match_xla_tail():
     for a, b in zip(ga, gb):
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale)
+
+
+def test_failed_tail_compile_probe_falls_back_to_xla(monkeypatch):
+    # Review finding: the VMEM-budget model can accept a tiling Mosaic
+    # rejects, and a compile error inside the user's jit is uncatchable
+    # there.  When the one-time compile probe reports failure, fft_conv2d
+    # must run the XLA tail (same math) instead of crashing.
+    from jointpose.ops import fft_conv as mod
+
+    monkeypatch.setattr(mod, "_tail_compile_ok",
+                        lambda *a, **kw: False)
+    rngs = jax.random.split(jax.random.PRNGKey(3), 2)
+    x = jax.random.normal(rngs[0], (4, 20, 24, 16), jnp.float32)
+    k = jax.random.normal(rngs[1], (9, 9, 16, 32), jnp.float32)
+    a = mod.fft_conv2d(x, k, precision=lax.Precision.HIGHEST, pallas_tail=True)
+    b = mod.fft_conv2d(x, k, precision=lax.Precision.HIGHEST, pallas_tail=False)
+    scale = float(jnp.max(jnp.abs(b)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5 * scale)
