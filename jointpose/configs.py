@@ -323,6 +323,19 @@ def _preset_flagship() -> Config:
     )
 
 
+def _preset_flagship_slim() -> Config:
+    # The flagship with a 3x3 head conv: 6.0 -> 3.9 GFLOP/img, roofline
+    # 19.9k -> 23.8k img/s/chip (24.5k with uint8 ingest), at a real
+    # PDJ cost — 0.950 refine / 0.968 TTA full-split vs the flagship's
+    # 0.972 / 0.979 (results/flagship_slim/).  A frontier point for
+    # throughput-over-accuracy deployments, NOT the default headline.
+    cfg = _preset_flagship()
+    return cfg.replace(
+        name="flagship_slim",
+        detector=dataclasses.replace(cfg.detector, head_kernel=3),
+    )
+
+
 PRESETS = {
     "single_scale": _preset_single_scale,
     "multires": _preset_multires,
@@ -331,6 +344,7 @@ PRESETS = {
     "eval_tta": _preset_eval_tta,
     "tiny": _preset_tiny,
     "flagship": _preset_flagship,
+    "flagship_slim": _preset_flagship_slim,
 }
 
 

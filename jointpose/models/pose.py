@@ -37,9 +37,16 @@ class PoseModel(nn.Module):
         ``freeze_detector=True`` stops gradients at the detector logits
         (BASELINE config 3: the spatial model trains on fixed unaries),
         letting XLA elide the detector backward pass entirely.
+
+        ``images`` may be float in [0, 1] (the training pipeline) or raw
+        uint8 RGB (the production ingest path) — uint8 is normalized
+        in-graph, so the convert fuses into the first conv's input read
+        and HBM sees one byte per pixel-channel instead of four.
         """
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
+        if images.dtype == jnp.uint8:
+            images = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
         logits = Detector(
             cfg.detector, cfg.num_joints, dtype=dtype, name="detector"
         )(images)

@@ -20,7 +20,7 @@ from bench import build_inference_fn
 from jointpose.configs import get_config
 from jointpose.perf import compiled_cost, roofline_images_per_sec
 
-POINTS = ["single_scale", "multires", "mrf", "joint", "eval_tta", "flagship"]
+POINTS = ["single_scale", "multires", "mrf", "joint", "eval_tta", "flagship", "flagship_slim"]
 
 
 def build_tta_inference_fn(config):
@@ -52,7 +52,9 @@ def measure(name: str, batch: int) -> dict:
     else:
         model, forward = build_inference_fn(config)
     rng = jax.random.PRNGKey(0)
-    images = jax.numpy.zeros((batch, *config.data.image_hw, 3), jax.numpy.float32)
+    # Production ingest: raw uint8 RGB, normalized in-graph (matches
+    # bench.py; the convert fuses into the first conv's input read).
+    images = jax.numpy.zeros((batch, *config.data.image_hw, 3), jax.numpy.uint8)
     params = model.init(rng, images[:1])
     cost = compiled_cost(forward, params, images)
     flops_img = cost["flops"] / batch
@@ -72,6 +74,7 @@ def measure(name: str, batch: int) -> dict:
             "impl": config.mrf.impl,
         },
         "tta": config.eval_flip_tta,
+        "input_dtype": "uint8",
     }
     print(json.dumps(row), flush=True)
     return row

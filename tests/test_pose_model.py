@@ -64,3 +64,20 @@ def test_pose_model_grad_flows_end_to_end(tiny_config):
         for g in jax.tree.leaves(grads["params"]["detector"])
     )
     assert det_norm > 0.0
+
+
+def test_uint8_ingest_matches_normalized_float(tiny_config):
+    # Production ingest: raw uint8 RGB is normalized in-graph; the
+    # result must match feeding the same image as float/255.
+    model = PoseModel(tiny_config)
+    u8 = np.random.RandomState(3).randint(
+        0, 256, (2, *tiny_config.data.image_hw, 3), dtype=np.uint8
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(u8))
+    out_u8 = model.apply(params, jnp.asarray(u8))
+    out_f = model.apply(params, jnp.asarray(u8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(
+        np.asarray(out_u8["detector_logits"]),
+        np.asarray(out_f["detector_logits"]),
+        atol=1e-5,
+    )

@@ -101,3 +101,15 @@ def test_unknown_path(live_server):
     _, port = live_server
     status, body = _post(port, "/nope", b"{}")
     assert status == 404
+
+
+def test_predict_npy_uint8(live_server):
+    # Raw uint8 RGB rides through to the device untouched (normalized
+    # in-graph) — 4x less request->device traffic than float32.
+    cfg, port = live_server
+    h, w = cfg.data.image_hw
+    imgs = np.random.RandomState(2).randint(0, 256, (1, h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    status, body = _post(port, "/predict", buf.getvalue(), ctype="application/x-npy")
+    assert status == 200 and len(body["predictions"]) == 1
