@@ -30,21 +30,38 @@ from jointpose.models.pose import PoseModel
 from jointpose.ops.heatmaps import decode_probs, model_probs
 
 
-def build_predictor(config: Config, params):
-    """Return a jitted fn: images (B,H,W,3) -> (coords (B,K,2), probs)."""
+def build_predictor(config: Config, params, mesh=None):
+    """Return a jitted fn: images (B,H,W,3) -> (coords (B,K,2), probs).
+
+    With ``mesh`` (a ('data','model') `jax.sharding.Mesh`), inference is
+    data-parallel: the batch shards over the mesh 'data' axis and XLA
+    partitions the whole forward SPMD — same program, N chips.  Batch
+    size must divide the data axis.
+    """
     model = PoseModel(config)
     stride = config.data.heatmap_stride
+    if mesh is not None:
+        from jointpose.parallel.mesh import batch_sharding, shard_params
+
+        params = {"params": shard_params(params["params"], mesh)}
+        in_sharding = batch_sharding(mesh)
 
     def probs_fn(images):
         return model_probs(model.apply(params, images))
 
     @jax.jit
-    def predict(images):
+    def _predict(images):
         probs = probs_fn(images)
         if config.eval_flip_tta:
             probs = 0.5 * (probs + unflip_heatmaps(probs_fn(flip_images(images))))
         coords = decode_probs(probs, stride, refine=config.decode_refine)
         return coords, probs
+
+    if mesh is None:
+        return _predict
+
+    def predict(images):
+        return _predict(jax.device_put(images, in_sharding))
 
     return predict
 
@@ -99,13 +116,27 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
                         help="override the trunk downsampling mode (normally "
                              "auto-adopted from the checkpoint's metadata)")
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="data-parallel inference over this many devices "
+                             "(0 = single device; batch size must divide it)")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
 
     config = reconcile_config(get_config(args.config), args.checkpoint, args.pool_mode)
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
-    predict = build_predictor(config, params)
+    mesh = None
+    if args.mesh_data > 1:
+        from jointpose.configs import MeshConfig
+        from jointpose.parallel.mesh import make_mesh
+
+        if args.batch_size % args.mesh_data:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must divide --mesh-data "
+                f"{args.mesh_data}"
+            )
+        mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
+    predict = build_predictor(config, params, mesh=mesh)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
 

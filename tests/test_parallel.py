@@ -189,3 +189,28 @@ def test_head_conv_params_actually_sharded(tiny_noaug):
     assert shardings["detector"]["trunk"]["conv0"]["kernel"].spec == (
         jax.sharding.PartitionSpec()
     )
+
+
+def test_dp_inference_matches_single_device(tiny_noaug):
+    # build_predictor(mesh=...) shards the batch over 'data' and lets
+    # XLA partition the forward SPMD; coords must match the unsharded
+    # predictor exactly.
+    from jointpose.predict import build_predictor
+
+    config = tiny_noaug
+    model = PoseModel(config)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (8, *config.data.image_hw, 3), jnp.float32)
+    params = model.init(rng, images[:1])
+
+    single = build_predictor(config, params)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sharded = build_predictor(config, params, mesh=mesh)
+
+    c1, p1 = single(images)
+    c2, p2 = sharded(images)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    # The batch really is partitioned: each device holds 1/8 of it.
+    shard_shapes = {s.data.shape for s in c2.addressable_shards} if hasattr(c2, "addressable_shards") else set()
+    assert not shard_shapes or (1, 9, 2) in shard_shapes
