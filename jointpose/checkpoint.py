@@ -27,12 +27,20 @@ RUN_METADATA_FILE = "run_config.json"
 
 
 def load_run_metadata(directory: str) -> dict | None:
-    """The saving run's recorded config, or None (pre-metadata runs)."""
+    """The saving run's recorded config, or None (pre-metadata runs).
+
+    A corrupt/truncated file also returns None (with a warning) — the
+    metadata is a safety net, and an unreadable net must degrade to the
+    pre-metadata behavior rather than block every entry point.
+    """
     path = os.path.join(os.path.abspath(directory), RUN_METADATA_FILE)
     try:
         with open(path) as f:
             return json.load(f)
     except OSError:
+        return None
+    except ValueError:  # includes json.JSONDecodeError
+        print(f"[checkpoint] WARNING: unreadable {path}; ignoring metadata")
         return None
 
 
@@ -81,6 +89,7 @@ class Checkpointer:
     def __init__(self, directory: str, keep: int = 3, config=None):
         self.directory = os.path.abspath(directory)
         self._config = config
+        self._meta_written = False
         if config is not None:
             recorded = (load_run_metadata(self.directory) or {}).get("pool_mode")
             if recorded is not None and recorded != config.detector.pool_mode:
@@ -119,19 +128,24 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
-        if self._config is not None:
+        if self._config is not None and not self._meta_written:
+            # (Over)write once per run: the run writing checkpoints is
+            # the source of truth — keeping an older run's metadata
+            # (e.g. after retraining a different same-pool-mode config
+            # into the same dir) would record a config the weights no
+            # longer match.
+            self._meta_written = True
             path = os.path.join(self.directory, RUN_METADATA_FILE)
-            if not os.path.exists(path):
-                os.makedirs(self.directory, exist_ok=True)
-                meta = {
-                    "config_name": self._config.name,
-                    "pool_mode": self._config.detector.pool_mode,
-                    "config": dataclasses.asdict(self._config),
-                }
-                tmp = path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(meta, f, indent=1, default=str)
-                os.replace(tmp, path)
+            os.makedirs(self.directory, exist_ok=True)
+            meta = {
+                "config_name": self._config.name,
+                "pool_mode": self._config.detector.pool_mode,
+                "config": dataclasses.asdict(self._config),
+            }
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1, default=str)
+            os.replace(tmp, path)
         metrics = {
             k: float(v)
             for k, v in (metrics or {}).items()

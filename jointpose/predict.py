@@ -35,8 +35,8 @@ def build_predictor(config: Config, params, mesh=None):
 
     With ``mesh`` (a ('data','model') `jax.sharding.Mesh`), inference is
     data-parallel: the batch shards over the mesh 'data' axis and XLA
-    partitions the whole forward SPMD — same program, N chips.  Batch
-    size must divide the data axis.
+    partitions the whole forward SPMD — same program, N chips.  The
+    data-axis size must divide the batch size.
     """
     model = PoseModel(config)
     stride = config.data.heatmap_stride
@@ -118,7 +118,7 @@ def main(argv: list[str] | None = None) -> None:
                              "auto-adopted from the checkpoint's metadata)")
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel inference over this many devices "
-                             "(0 = single device; batch size must divide it)")
+                             "(0 = single device; must divide the batch size)")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
@@ -132,8 +132,8 @@ def main(argv: list[str] | None = None) -> None:
 
         if args.batch_size % args.mesh_data:
             raise SystemExit(
-                f"--batch-size {args.batch_size} must divide --mesh-data "
-                f"{args.mesh_data}"
+                f"--mesh-data {args.mesh_data} must divide --batch-size "
+                f"{args.batch_size}"
             )
         mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
     predict = build_predictor(config, params, mesh=mesh)

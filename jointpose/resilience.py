@@ -140,7 +140,11 @@ class Supervisor:
         a full eval, a checkpoint save.  Hang-kills charge the failure
         budget (a deterministic stall must not restart-loop forever),
         so a too-tight timeout costs real restarts.
-      start_timeout: optional seconds to wait for the FIRST heartbeat.
+      start_timeout: seconds to wait for the FIRST heartbeat of each
+        attempt (None = unlimited).  The default bounds a wedged first
+        compile / checkpoint restore — without it a child that hangs
+        before its first completed step is never detected, since the
+        heartbeat timer only arms once a beat exists.
     """
 
     def __init__(
@@ -151,7 +155,7 @@ class Supervisor:
         heartbeat_timeout: float = 1800.0,
         poll_interval: float = 0.5,
         grace: float = 30.0,
-        start_timeout: float | None = None,
+        start_timeout: float | None = 3600.0,
         env: dict[str, str] | None = None,
     ):
         self.cmd = list(cmd)
@@ -244,7 +248,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--max-restarts", type=int, default=3)
     parser.add_argument("--heartbeat-timeout", type=float, default=1800.0)
-    parser.add_argument("--start-timeout", type=float, default=None)
+    parser.add_argument("--start-timeout", type=float, default=3600.0)
     parser.add_argument("train_args", nargs=argparse.REMAINDER,
                         help="arguments for jointpose.train after '--'")
     args = parser.parse_args(argv)

@@ -43,9 +43,12 @@ class PoseService:
         self.batch_size = batch_size
         params, self.step = restore_params(config, checkpoint_dir, step, best=best)
         self._predict = build_predictor(config, params)
-        # Warm the compile at the serving shape.
+        # Warm BOTH accepted input dtypes at the serving shape — each is
+        # its own jit cache entry, and 'no recompiles at serving time'
+        # must hold for the first uint8 request too.
         h, w = config.data.image_hw
         self._predict(jnp.zeros((batch_size, h, w, 3), jnp.float32))
+        self._predict(jnp.zeros((batch_size, h, w, 3), jnp.uint8))
 
     def predict(self, images: np.ndarray) -> list[dict]:
         h, w = self.config.data.image_hw
