@@ -115,17 +115,21 @@ def _conv_bytes(
     direct = itemsize * (h * w * cin + h * w * cout) + (
         itemsize * kh * kw * cin * cout / max(batch, 1)
     )
+    # Models the kdft fused tail (the production path): the R spectrum
+    # AND the full kernel spectrum K_f stay in VMEM; only the forward
+    # transforms, the tail output (h, g, cout) and the Kh-deep
+    # half-transformed kernel `a` touch HBM.  Validated against the
+    # measured paper head: model 77 MB/img vs cost_analysis 78.2.
     inter = (
         2 * (ph * w * cin)  # row-DFT output (complex)
         + 2 * (ph * g * cin)  # X_f
-        + 2 * (ph * g * cout)  # R_f
-        + 2 * (h * g * cout)  # row-inverse output
+        + 2 * (h * g * cout)  # fused-tail output
     )
     fourier = (
         itemsize * (h * w * cin + h * w * cout)
         + _XLA_TRAFFIC_OVERHEAD * 2 * itemsize * inter  # write + read each
         + _XLA_TRAFFIC_OVERHEAD
-        * 2 * 2 * itemsize * ph * g * cin * cout / max(batch, 1)  # K_f w+r
+        * 2 * 2 * itemsize * g * kh * cin * cout / max(batch, 1)  # `a` w+r
     )
     return direct, fourier
 
@@ -165,7 +169,7 @@ def use_fourier(
 
 
 def _tail_tiles(
-    ph: int, h: int, b: int, ci: int, co: int, itemsize: int
+    ph: int, h: int, b: int, ci: int, co: int, itemsize: int, kdft_kh: int = 0
 ) -> tuple[int, int, int] | None:
     """(TB, CoT, FB) block sizes for the fused tail, or None if nothing
     fits the VMEM budget (then the XLA tail runs instead).
@@ -196,36 +200,30 @@ def _tail_tiles(
     for tb in tb_cands:
         for cot in cot_cands:
             for fb in fb_cands:
+                # Kernel-operand blocks: the full K_f row block for the
+                # plain tail, or the Kh-deep half-transformed `a` block
+                # (+ tiny (fb, kh) table slices) for the kdft variant.
+                kblk = (kdft_kh or fb) * ci * cot + 2 * fb * (kdft_kh or 0)
                 blocks = itemsize * 2 * (  # re+im array pairs
-                    fb * tb * ci + fb * ci * cot + h * tb * cot
+                    fb * tb * ci + kblk + h * tb * cot
                 ) + itemsize * 2 * h * fb  # inverse-row table slices
                 # fp32 temporaries: R re/im after the pointwise matmul,
-                # then the partial row-inverse sums before the cast.
+                # then the partial row-inverse sums before the cast —
+                # plus the in-kernel K_f rows for the kdft variant.
                 temps = 4 * 2 * fb * tb * cot + 4 * 2 * h * tb * cot
+                if kdft_kh:
+                    temps += 4 * 2 * fb * ci * cot
                 vmem = 2 * blocks + temps  # 2x: double buffering
                 if vmem <= budget:
                     return tb, cot, fb
     return None
 
 
-def _tail_kernel(
-    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, tr_ref, ti_ref, *, precision
-):
-    """One (batch-tile, g bin, cout-tile, f-block) step: pointwise
-    complex matmul over Ci (batched over the FB row bins) + partial
-    complex inverse row DFT accumulated into the output block — the R
-    spectrum lives only in VMEM temporaries."""
-    f = pl.program_id(3)
-
-    @pl.when(f == 0)
-    def _():
-        tr_ref[:] = jnp.zeros_like(tr_ref)
-        ti_ref[:] = jnp.zeros_like(ti_ref)
-
-    xr = xr_ref[0]  # (FB, TB, Ci)
-    xi = xi_ref[0]
-    kr = kr_ref[0]  # (FB, Ci, CoT)
-    ki = ki_ref[0]
+def _tail_body(xr, xi, kr, ki, irr_ref, iri_ref, tr_ref, ti_ref, precision):
+    """Shared back half of both tail kernels: pointwise complex matmul
+    over Ci (batched over the FB row bins) + partial complex inverse row
+    DFT accumulated into the output block — the R spectrum lives only in
+    VMEM temporaries."""
     dn = (((2,), (1,)), ((0,), (0,)))  # contract Ci, batch over FB
     bdot = functools.partial(
         lax.dot_general, dimension_numbers=dn,
@@ -251,6 +249,66 @@ def _tail_kernel(
     tim = mm(irr, i2) + mm(iri, r2)
     tr_ref[:, 0] += tre.reshape(h, tb, cot).astype(tr_ref.dtype)
     ti_ref[:, 0] += tim.reshape(h, tb, cot).astype(ti_ref.dtype)
+
+
+def _tail_kernel(
+    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, tr_ref, ti_ref, *, precision
+):
+    """Tail step with the kernel spectrum K_f read from HBM blocks."""
+    f = pl.program_id(3)
+
+    @pl.when(f == 0)
+    def _():
+        tr_ref[:] = jnp.zeros_like(tr_ref)
+        ti_ref[:] = jnp.zeros_like(ti_ref)
+
+    _tail_body(
+        xr_ref[0], xi_ref[0], kr_ref[0], ki_ref[0],
+        irr_ref, iri_ref, tr_ref, ti_ref, precision,
+    )
+
+
+def _tail_kdft_kernel(
+    xr_ref, xi_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
+    tr_ref, ti_ref, *, precision
+):
+    """Tail step that builds its K_f block IN KERNEL from the half-
+    transformed kernel ``a`` (column DFT only, (1, KH, Ci, CoT) block).
+
+    The full kernel spectrum K_f is (G, Ph, Ci, Co) complex — 891 MB per
+    step for the paper head — and the plain tail pays its HBM write +
+    read every step (the kernel is a parameter, so XLA cannot constant-
+    fold it).  ``a`` is Kh/Ph times smaller; the row DFT to K_f is a
+    K=Kh matmul against the (FB, KH) table block, a negligible ~0.2
+    GFLOP/img for the paper head.
+    """
+    f = pl.program_id(3)
+
+    @pl.when(f == 0)
+    def _():
+        tr_ref[:] = jnp.zeros_like(tr_ref)
+        ti_ref[:] = jnp.zeros_like(ti_ref)
+
+    ar = ar_ref[0]  # (KH, Ci, CoT)
+    ai = ai_ref[0]
+    grr = grr_ref[:]  # (FB, KH)
+    gri = gri_ref[:]
+    kh, ci, cot = ar.shape
+    fb = grr.shape[0]
+    a_r2 = ar.reshape(kh, ci * cot)
+    a_i2 = ai.reshape(kh, ci * cot)
+    mmk = functools.partial(
+        lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # Complex row DFT: K_f = Σ_y gr[f, y] · a[y] (a already complex).
+    kr = (mmk(grr, a_r2) - mmk(gri, a_i2)).reshape(fb, ci, cot).astype(ar.dtype)
+    ki = (mmk(grr, a_i2) + mmk(gri, a_r2)).reshape(fb, ci, cot).astype(ar.dtype)
+    _tail_body(
+        xr_ref[0], xi_ref[0], kr, ki, irr_ref, iri_ref, tr_ref, ti_ref, precision
+    )
 
 
 def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
@@ -311,10 +369,73 @@ def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
     return tr, ti
 
 
+def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
+                    tb: int, cot: int, fb: int, prec):
+    """The kdft pallas_call: K_f built in kernel — see _tail_kdft_kernel."""
+    g, ph, b, ci = xr.shape
+    kh, co = ar.shape[1], ar.shape[-1]
+    grid = (b // tb, g, co // cot, ph // fb)
+
+    def x_spec():
+        return pl.BlockSpec(
+            (1, fb, tb, ci), lambda ib, gg, o, f: (gg, f, ib, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def a_spec():
+        return pl.BlockSpec(
+            (1, kh, ci, cot), lambda ib, gg, o, f: (gg, 0, 0, o),
+            memory_space=pltpu.VMEM,
+        )
+
+    def g_spec():
+        # (FB, KH) block of the kernel row-DFT table: KH (9, full dim)
+        # in lanes, the 8-aligned FB slice in sublanes.
+        return pl.BlockSpec(
+            (fb, kh), lambda ib, gg, o, f: (f, 0), memory_space=pltpu.VMEM
+        )
+
+    def c_spec():
+        return pl.BlockSpec(
+            (fb, h), lambda ib, gg, o, f: (f, 0), memory_space=pltpu.VMEM
+        )
+
+    def t_spec():
+        return pl.BlockSpec(
+            (h, 1, tb, cot), lambda ib, gg, o, f: (0, gg, ib, o),
+            memory_space=pltpu.VMEM,
+        )
+
+    flops = int(
+        b * g * (8 * ph * ci * co)  # pointwise complex matmul
+        + b * g * (8 * h * ph * co)  # complex inverse row DFT
+        + (b // tb) * g * ph * (8 * kh * ci * co)  # in-kernel K_f rows
+    )
+    tr, ti = pl.pallas_call(
+        functools.partial(_tail_kdft_kernel, precision=prec),
+        grid=grid,
+        in_specs=[x_spec(), x_spec(), a_spec(), a_spec(), g_spec(), g_spec(),
+                  c_spec(), c_spec()],
+        out_specs=[t_spec(), t_spec()],
+        out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                2 * xr.size * xr.dtype.itemsize * (co // cot)
+                + 2 * ar.size * ar.dtype.itemsize * (b // tb)
+                + 2 * h * g * b * co * xr.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xr, xi, ar, ai, grr, gri, irr_t, iri_t)
+    return tr, ti
+
+
 @functools.lru_cache(maxsize=None)
 def _tail_compile_ok(
     g: int, ph: int, b: int, ci: int, co: int, h: int, dtype_name: str,
-    tb: int, cot: int, fb: int, prec,
+    tb: int, cot: int, fb: int, prec, kdft_kh: int = 0,
 ) -> bool:
     """One-time AOT probe that the fused tail actually compiles.
 
@@ -330,15 +451,28 @@ def _tail_compile_ok(
     if _use_interpret():
         return True
     dt = jnp.dtype(dtype_name)
-    shapes = [
-        jax.ShapeDtypeStruct((g, ph, b, ci), dt),
-        jax.ShapeDtypeStruct((g, ph, b, ci), dt),
-        jax.ShapeDtypeStruct((g, ph, ci, co), dt),
-        jax.ShapeDtypeStruct((g, ph, ci, co), dt),
-        jax.ShapeDtypeStruct((ph, h), dt),
-        jax.ShapeDtypeStruct((ph, h), dt),
-    ]
-    fn = functools.partial(_tail_call, h=h, tb=tb, cot=cot, fb=fb, prec=prec)
+    x_sh = jax.ShapeDtypeStruct((g, ph, b, ci), dt)
+    tab = jax.ShapeDtypeStruct((ph, h), dt)
+    if kdft_kh:
+        shapes = [
+            x_sh, x_sh,
+            jax.ShapeDtypeStruct((g, kdft_kh, ci, co), dt),
+            jax.ShapeDtypeStruct((g, kdft_kh, ci, co), dt),
+            jax.ShapeDtypeStruct((ph, kdft_kh), dt),
+            jax.ShapeDtypeStruct((ph, kdft_kh), dt),
+            tab, tab,
+        ]
+        fn = functools.partial(
+            _tail_call_kdft, h=h, tb=tb, cot=cot, fb=fb, prec=prec
+        )
+    else:
+        shapes = [
+            x_sh, x_sh,
+            jax.ShapeDtypeStruct((g, ph, ci, co), dt),
+            jax.ShapeDtypeStruct((g, ph, ci, co), dt),
+            tab, tab,
+        ]
+        fn = functools.partial(_tail_call, h=h, tb=tb, cot=cot, fb=fb, prec=prec)
     try:
         jax.jit(fn).lower(*shapes).compile()
         return True
@@ -366,6 +500,35 @@ def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
         return None
     return _tail_call(
         xr, xi, kr, ki, t["ir_re"].T, t["ir_im"].T,
+        h=h, tb=tb, cot=cot, fb=fb, prec=prec,
+    )
+
+
+def _round_prec(precision):
+    # Mosaic's dot knows DEFAULT and HIGHEST; round bf16x3 (HIGH) up.
+    if precision in (lax.Precision.HIGH, lax.Precision.HIGHEST):
+        return lax.Precision.HIGHEST
+    return lax.Precision.DEFAULT
+
+
+def _pallas_tail_kdft(xr, xi, a_re, a_im, t, h: int, precision):
+    """Preferred fused tail: like _pallas_tail, but the kernel spectrum
+    K_f is built in kernel from the column-DFT-only ``a`` — the full
+    (G, Ph, Ci, Co) complex spectrum (891 MB/step for the paper head)
+    never touches HBM.  Returns None to fall back (plain tail or XLA)."""
+    g, ph, b, ci = xr.shape
+    kh, co = a_re.shape[1], a_re.shape[-1]
+    tiles = _tail_tiles(ph, h, b, ci, co, xr.dtype.itemsize, kdft_kh=kh)
+    if tiles is None:
+        return None
+    tb, cot, fb = tiles
+    prec = _round_prec(precision)
+    if not _tail_compile_ok(
+        g, ph, b, ci, co, h, str(xr.dtype), tb, cot, fb, prec, kdft_kh=kh
+    ):
+        return None
+    return _tail_call_kdft(
+        xr, xi, a_re, a_im, t["gr_re"], t["gr_im"], t["ir_re"].T, t["ir_im"].T,
         h=h, tb=tb, cot=cot, fb=fb, prec=prec,
     )
 
@@ -409,15 +572,25 @@ def _fft_conv2d_impl(
     xr = em("gx,fbxi->gfbi", t["fc_re"], ar) - em("gx,fbxi->gfbi", t["fc_im"], ai)
     xi = em("gx,fbxi->gfbi", t["fc_im"], ar) + em("gx,fbxi->gfbi", t["fc_re"], ai)
 
-    # Kernel DFT, same (g, f) bin-leading layout (amortized over batch;
-    # constant-folded when the kernel is a literal).
+    # Kernel transforms.  Column DFT only first: ``a`` is (g, kh, i, o)
+    # complex — Kh/Ph times smaller than the full spectrum K_f.  The
+    # preferred fused tail finishes the row DFT IN KERNEL, so K_f (891
+    # MB/step at the paper head; recomputed every step because the
+    # kernel is a parameter) never reaches HBM.
     kc = kernel.astype(dt)  # (y, x, i, o)
-    br_ = em("fy,yxio->fxio", t["gr_re"], kc)
-    bi_ = em("fy,yxio->fxio", t["gr_im"], kc)
-    kr = em("gx,fxio->gfio", t["gc_re"], br_) - em("gx,fxio->gfio", t["gc_im"], bi_)
-    ki = em("gx,fxio->gfio", t["gc_im"], br_) + em("gx,fxio->gfio", t["gc_re"], bi_)
+    a_re = em("gx,yxio->gyio", t["gc_re"], kc)
+    a_im = em("gx,yxio->gyio", t["gc_im"], kc)
 
-    tail = _pallas_tail(xr, xi, kr, ki, t, h, precision) if pallas_tail else None
+    tail = _pallas_tail_kdft(xr, xi, a_re, a_im, t, h, precision) if pallas_tail else None
+    kr = ki = None
+    if tail is None:
+        # Fallbacks need the full spectrum: finish the row DFT in XLA
+        # (same math, different summation order than round-2's
+        # row-then-column — fp-tolerance identical).
+        kr = em("fy,gyio->gfio", t["gr_re"], a_re) - em("fy,gyio->gfio", t["gr_im"], a_im)
+        ki = em("fy,gyio->gfio", t["gr_re"], a_im) + em("fy,gyio->gfio", t["gr_im"], a_re)
+        if pallas_tail:
+            tail = _pallas_tail(xr, xi, kr, ki, t, h, precision)
     if tail is None:
         # Cross-correlation product summed over Ci — a complex matmul at
         # every (g, f) bin with bins as dot_general batch dims in BOTH
