@@ -325,10 +325,12 @@ def _preset_flagship() -> Config:
 
 def _preset_flagship_slim() -> Config:
     # The flagship with a 3x3 head conv: 6.0 -> 3.9 GFLOP/img, roofline
-    # 19.9k -> 23.8k img/s/chip (24.5k with uint8 ingest), at a real
-    # PDJ cost — 0.950 refine / 0.968 TTA full-split vs the flagship's
-    # 0.972 / 0.979 (results/flagship_slim/).  A frontier point for
-    # throughput-over-accuracy deployments, NOT the default headline.
+    # 19.9k -> 24.5k img/s/chip (uint8 ingest).  At the 8000+8000-step
+    # schedule the PDJ cost is small — 0.980 refine / 0.987 TTA
+    # full-split vs the flagship's 0.984 / 0.990
+    # (results/flagship_slim_long/) — making this the
+    # throughput-per-accuracy sweet spot; the flagship stays the
+    # headline.
     cfg = _preset_flagship()
     return cfg.replace(
         name="flagship_slim",

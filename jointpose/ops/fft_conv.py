@@ -22,16 +22,23 @@ FLOP model (per image, real FLOPs; P* = H + k* - 1 padded extents):
 For the paper head (60x90, 9x9, 128->512): 57.3 -> 7.0 GFLOP (8.2x).
 
 The catch is HBM traffic: the Fourier path materializes complex
-intermediates at every stage and reads a (Ci, Co, Ph, Pw) complex
-kernel spectrum per step (3.5 GB fp32 at the paper head — amortized
-over the batch).  Two mitigations are built in:
+intermediates at every stage, and the full kernel spectrum K_f is
+(G, Ph, Ci, Co) complex — 891 MB/step bf16 at the paper head,
+recomputed every step because the kernel is a parameter.  Three
+mitigations are built in:
 
 1. **Bin-leading layouts**: every einsum is written so dot_general's
    natural result order IS the next stage's operand order — (g, f)
    frequency bins lead through the pointwise stage, so XLA inserts no
    whole-tensor transposes (first-cut measurement: transposes roughly
    doubled traffic).
-2. **Roofline-aware 'auto'**: ``use_fourier`` models FLOPs AND bytes
+2. **kdft fused tail** (the production path): the Pallas tail receives
+   only the column-DFT half ``a`` (G, Kh, Ci, Co — Kh/Ph ≈ 7.5×
+   smaller) and finishes the row DFT to its K_f block IN KERNEL (a
+   K=Kh matmul, ~0.2 GFLOP/img at the paper head), so neither K_f nor
+   the response spectrum R ever reaches HBM.  Measured: paper head
+   126 → 78 MB/img.
+3. **Roofline-aware 'auto'**: ``use_fourier`` models FLOPs AND bytes
    for both impls and picks the one with the higher min(MXU, HBM)
    roofline at the actual batch size — a FLOP win is rejected when it
    would turn a compute-bound conv into a worse bandwidth-bound one
