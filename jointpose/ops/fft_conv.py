@@ -122,21 +122,33 @@ def _conv_bytes(
     direct = itemsize * (h * w * cin + h * w * cout) + (
         itemsize * kh * kw * cin * cout / max(batch, 1)
     )
-    # Models the kdft fused tail (the production path): the R spectrum
-    # AND the full kernel spectrum K_f stay in VMEM; only the forward
-    # transforms, the tail output (h, g, cout) and the Kh-deep
-    # half-transformed kernel `a` touch HBM.  Validated against the
-    # measured paper head: model 77 MB/img vs cost_analysis 78.2.
+    # The byte model must describe the tail that will ACTUALLY run for
+    # this geometry: the kdft fused tail keeps both the R spectrum and
+    # the full kernel spectrum K_f in VMEM, while the XLA-tail fallback
+    # pays both in HBM — an order-of-magnitude traffic difference at
+    # the paper head (78 vs ~290 MB/img), which would flip 'auto'
+    # decisions the wrong way if modeled unconditionally.
+    ph8 = -(-ph // 8) * 8  # fused tails pad the row transform to 8
+    fused = _tail_tiles(ph8, h, batch, cin, cout, itemsize, kdft_kh=kh)
     inter = (
         2 * (ph * w * cin)  # row-DFT output (complex)
         + 2 * (ph * g * cin)  # X_f
-        + 2 * (h * g * cout)  # fused-tail output
+        + 2 * (h * g * cout)  # tail output
     )
+    if fused is not None:
+        # kdft fused tail: only the Kh-deep half-transformed kernel `a`
+        # round-trips per step.  Validated vs the measured paper head:
+        # model 73 MB/img vs cost_analysis 78.2.
+        kbytes = 2 * 2 * itemsize * g * kh * cin * cout
+    else:
+        # XLA tail: the full K_f spectrum round-trips, and the R
+        # spectrum is materialized too.
+        inter += 2 * (ph * g * cout)  # R_f
+        kbytes = 2 * 2 * itemsize * g * ph * cin * cout
     fourier = (
         itemsize * (h * w * cin + h * w * cout)
         + _XLA_TRAFFIC_OVERHEAD * 2 * itemsize * inter  # write + read each
-        + _XLA_TRAFFIC_OVERHEAD
-        * 2 * 2 * itemsize * g * kh * cin * cout / max(batch, 1)  # `a` w+r
+        + _XLA_TRAFFIC_OVERHEAD * kbytes / max(batch, 1)
     )
     return direct, fourier
 
@@ -209,8 +221,9 @@ def _tail_tiles(
             for fb in fb_cands:
                 # Kernel-operand blocks: the full K_f row block for the
                 # plain tail, or the Kh-deep half-transformed `a` block
-                # (+ tiny (fb, kh) table slices) for the kdft variant.
-                kblk = (kdft_kh or fb) * ci * cot + 2 * fb * (kdft_kh or 0)
+                # (+ a tiny (fb, kh) table slice, whose re+im pair is
+                # covered by the outer x2) for the kdft variant.
+                kblk = (kdft_kh or fb) * ci * cot + fb * (kdft_kh or 0)
                 blocks = itemsize * 2 * (  # re+im array pairs
                     fb * tb * ci + kblk + h * tb * cot
                 ) + itemsize * 2 * h * fb  # inverse-row table slices
@@ -498,11 +511,7 @@ def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
     if tiles is None:
         return None
     tb, cot, fb = tiles
-    # Mosaic's dot knows DEFAULT and HIGHEST; round bf16x3 (HIGH) up.
-    if precision in (lax.Precision.HIGH, lax.Precision.HIGHEST):
-        prec = lax.Precision.HIGHEST
-    else:
-        prec = lax.Precision.DEFAULT
+    prec = _round_prec(precision)
     if not _tail_compile_ok(g, ph, b, ci, co, h, str(xr.dtype), tb, cot, fb, prec):
         return None
     return _tail_call(
