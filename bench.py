@@ -6,17 +6,22 @@ flagship config in steady state — compile excluded, timed over repeated
 batches (SURVEY §4 perf harness).  Baseline target: >=10,000
 images/sec/chip (BASELINE.json:5).
 
-SELF-CALIBRATION (round-2 fix): on this rig the device is reached
-through the axon relay, which acknowledges dispatches before compute
-completes — wall-clock through it can overstate throughput by orders of
-magnitude (round 1 recorded 571k img/s ≈ 4.2 EFLOP/s on one chip, 25x
-over the bf16 roofline).  The bench therefore times an in-process probe
-of KNOWN FLOPs (a jitted bf16 matmul) with the *identical* timing loop;
-if the apparent probe FLOP/s exceeds the chip's peak, the wall clock is
-physically impossible and is reported as invalid — the headline value
-then falls back to the compiled-program cost-analysis roofline bound
-(peak * assumed MXU utilization / FLOPs-per-image), explicitly labeled
-model-derived.  Both numbers + a ``plausible`` flag are emitted.
+MEASURED DEVICE TIME (round-3 fix, closing round-2 verdict missing #2):
+the headline is now a real device-side measurement — ``jax.profiler``
+traces through the axon PJRT plugin carry per-run device durations in
+picoseconds (jointpose/devtime.py), verified against a known-FLOP
+matmul (4096^3 bf16 = 707.5 us = 194 TFLOP/s = 98.7% of the v5e peak).
+The bench runs the compiled inference program under a trace and reports
+``batch / median_device_run_time``; the measured MXU utilization is
+emitted next to the formerly assumed 0.60.
+
+SELF-CALIBRATION (round-2 fix, kept as a fallback diagnostic): host
+wall-clock through the axon relay is a dispatch rate (the relay acks
+before compute completes; round 1 recorded 571k img/s ≈ 4.2 EFLOP/s on
+one chip).  The bench still times a known-FLOP probe with the identical
+timing loop and flags the wall clock invalid when it beats the chip's
+peak; if the profiler yields no device events, the headline falls back
+to the cost-analysis roofline bound, explicitly labeled model-derived.
 
 The JSON line also carries an ON-DEVICE PARITY check of the fused
 Pallas MRF path against the pure-XLA oracle (SURVEY §4 numerics tests):
@@ -90,14 +95,9 @@ def probe_clock_validity(warmup: int = 2, iters: int = 10) -> dict:
     }
 
 
-def pallas_parity_check(batch: int = 4) -> dict:
-    """Compiled-on-device parity: fused Pallas + Fourier MRF passes vs
-    the XLA grouped-conv oracle.
-
-    Runs on whatever backend the bench runs on — on the driver that is
-    the real TPU chip, catching Mosaic lowering bugs the CPU
-    interpret-mode suite cannot see (round-1 verdict weak #5).
-    """
+def _mrf_parity(k: int, hw: tuple, win: tuple, batch: int) -> dict:
+    """Max rel err of every MRF message-pass impl vs the XLA oracle at
+    one geometry, compiled on the bench's backend."""
     import jax.lax as lax
 
     from jointpose.ops.mrf_fft import mrf_message_pass_fft
@@ -105,7 +105,6 @@ def pallas_parity_check(batch: int = 4) -> dict:
     from jointpose.ops.mrf_pallas import mrf_message_pass_pallas
     from jointpose.ops.mrf_xla import mrf_message_pass_xla
 
-    k, hw, win = 9, (30, 44), (11, 15)
     rngs = jax.random.split(jax.random.PRNGKey(7), 3)
     p = jax.nn.softmax(
         jax.random.normal(rngs[0], (batch, *hw, k)).reshape(batch, -1, k), axis=1
@@ -125,16 +124,70 @@ def pallas_parity_check(batch: int = 4) -> dict:
         )
         return float(jnp.max(jnp.abs(got - want))) / denom
 
-    rel_pallas = rel_err(mrf_message_pass_pallas)
-    rel_fft = rel_err(mrf_message_pass_fft)
-    rel_fused = rel_err(mrf_message_pass_fft_fused)
     return {
-        "pallas_parity_max_rel_err": round(rel_pallas, 8),
-        "fft_parity_max_rel_err": round(rel_fft, 8),
-        "fft_fused_parity_max_rel_err": round(rel_fused, 8),
-        "pallas_parity_ok": bool(
-            rel_pallas < 1e-3 and rel_fft < 1e-3 and rel_fused < 1e-3
-        ),
+        "pallas": rel_err(mrf_message_pass_pallas),
+        "fft": rel_err(mrf_message_pass_fft),
+        "fft_fused": rel_err(mrf_message_pass_fft_fused),
+    }
+
+
+def _head_conv_parity(batch: int = 128) -> float:
+    """Paper-head Fourier conv (9x9x128->512 at 60x90, Pallas kdft tail
+    engaged at full production batch) vs the direct conv, bf16 on the
+    real chip — the geometry production presets actually run (round-2
+    verdict weak #7: the old parity block only covered a reduced
+    geometry, which a geometry-dependent Mosaic bug would pass)."""
+    import jax.lax as lax
+
+    from jointpose.ops.fft_conv import fft_conv2d
+
+    rngs = jax.random.split(jax.random.PRNGKey(11), 2)
+    x = (jax.random.normal(rngs[0], (batch, 60, 90, 128)) * 0.5).astype(jnp.bfloat16)
+    kern = (jax.random.normal(rngs[1], (9, 9, 128, 512)) * 0.05).astype(jnp.float32)
+
+    def direct(x, k):
+        return lax.conv_general_dilated(
+            x.astype(jnp.float32), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+
+    want = jax.jit(direct)(x, kern)
+    got = jax.jit(lambda x, k: fft_conv2d(x, k, pallas_tail=True))(x, kern)
+    denom = max(float(jnp.max(jnp.abs(want))), 1e-9)
+    # bf16 inputs: expect ~1e-2 rel err from input rounding, identical
+    # for both impls; the check guards against LAYOUT/LOWERING bugs
+    # (wrong output would be O(1) off), not bf16 rounding.
+    return float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) / denom
+
+
+def pallas_parity_check(batch: int = 4) -> dict:
+    """Compiled-on-device parity: fused Pallas + Fourier MRF passes vs
+    the XLA grouped-conv oracle, at BOTH a small geometry and the
+    production geometry ((60, 90) maps, (45, 67) stride-1 window — what
+    the paper presets run), plus the production-batch Fourier head conv.
+
+    Runs on whatever backend the bench runs on — on the driver that is
+    the real TPU chip, catching Mosaic lowering bugs the CPU
+    interpret-mode suite cannot see (round-1 verdict weak #5).
+    """
+    small = _mrf_parity(9, (30, 44), (11, 15), batch)
+    prod = _mrf_parity(9, (60, 90), (45, 67), batch)
+    head = _head_conv_parity()
+    ok = (
+        all(v < 1e-3 for v in small.values())
+        and all(v < 1e-3 for v in prod.values())
+        and head < 0.05  # bf16 input rounding; lowering bugs are O(1)
+    )
+    return {
+        "pallas_parity_max_rel_err": round(small["pallas"], 8),
+        "fft_parity_max_rel_err": round(small["fft"], 8),
+        "fft_fused_parity_max_rel_err": round(small["fft_fused"], 8),
+        "prod_geometry_pallas_parity_max_rel_err": round(prod["pallas"], 8),
+        "prod_geometry_fft_parity_max_rel_err": round(prod["fft"], 8),
+        "prod_geometry_fft_fused_parity_max_rel_err": round(prod["fft_fused"], 8),
+        "prod_head_fft_conv_parity_max_rel_err": round(head, 8),
+        "pallas_parity_ok": bool(ok),
     }
 
 
@@ -173,7 +226,35 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     if on_tpu and measured * flops_per_image > PLAUSIBILITY_MARGIN * PEAK_BF16_FLOPS:
         clock_valid = False
 
-    if clock_valid:
+    # Measured device time (the real headline): per-run device durations
+    # from a profiler trace of the compiled program.  The trace flush
+    # through the relay takes minutes but the durations are genuine
+    # (devtime.py module docstring has the calibration evidence).
+    device: dict = {}
+    if on_tpu:
+        from jointpose.devtime import measure_device_time
+
+        timing = measure_device_time(
+            compiled, params, images, iters=8, warmup=0, program_name="forward"
+        )
+        if timing is not None and timing.num_runs >= 3:
+            med = timing.median_run_s
+            device = {
+                "device_ms_per_batch": round(med * 1e3, 3),
+                "device_runs_measured": timing.num_runs,
+                "measured_images_per_sec": round(batch_size / med, 1),
+                # FLOPs from cost analysis over measured time: the
+                # utilization the whole program sustains (the big convs
+                # individually reach ~86%; bandwidth-bound tail ops pull
+                # the program average down).
+                "measured_mxu_util": round(
+                    flops_per_image * batch_size / med / PEAK_BF16_FLOPS, 3
+                ),
+            }
+
+    if device:
+        value, measurement = device["measured_images_per_sec"], "device_profiler_trace"
+    elif clock_valid:
         value, measurement = measured, "wall_clock"
     elif roofline is None:
         # Degenerate degraded path: no cost-analysis FLOPs to model a
@@ -200,6 +281,7 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
             f"min({PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s * {ASSUMED_MXU_UTIL} / FLOPs-per-image,"
             " 0.8 * 819 GB/s / bytes-per-image)"
         ),
+        **device,
         **{k: v for k, v in (probe.items() if on_tpu else []) if k != "clock_valid"},
         **pallas_parity_check(),
     }

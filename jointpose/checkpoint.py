@@ -73,7 +73,17 @@ def reconcile_config(config, checkpoint_dir: str, pool_mode: str | None = None):
             f"[checkpoint] adopting recorded pool_mode={recorded!r} "
             f"(preset default {config.detector.pool_mode!r})"
         )
-        return with_pool_mode(config, recorded)
+        config = with_pool_mode(config, recorded)
+    # Pin the head-conv impl the TRAINING run resolved 'auto' to: the
+    # resolution is batch-dependent, and a serving batch that resolved
+    # differently would run slightly different bf16 numerics than the
+    # evaluated model (round-2 advisor finding).
+    impl = meta.get("head_conv_impl_resolved")
+    if impl is not None and config.detector.head_conv_impl == "auto":
+        print(f"[checkpoint] pinning head_conv_impl={impl!r} (resolved at training)")
+        config = config.replace(
+            detector=dataclasses.replace(config.detector, head_conv_impl=impl)
+        )
     return config
 
 
@@ -137,9 +147,20 @@ class Checkpointer:
             self._meta_written = True
             path = os.path.join(self.directory, RUN_METADATA_FILE)
             os.makedirs(self.directory, exist_ok=True)
+            from jointpose.models.detector import resolve_head_conv_impl
+
             meta = {
                 "config_name": self._config.name,
                 "pool_mode": self._config.detector.pool_mode,
+                # The impl 'auto' resolved to at the TRAINING batch —
+                # restore surfaces adopt it so eval and serve provably
+                # run the same head program (bf16 numerics differ
+                # slightly between the direct and FFT impls).
+                "head_conv_impl_resolved": resolve_head_conv_impl(
+                    self._config.detector,
+                    self._config.data.image_hw,
+                    self._config.train.batch_size,
+                ),
                 "config": dataclasses.asdict(self._config),
             }
             tmp = path + ".tmp"

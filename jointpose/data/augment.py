@@ -218,12 +218,17 @@ def augment_batch(
     """Warp a batch of images and transform their joint annotations.
 
     Args:
-      images: (B, H, W, C) float.
+      images: (B, H, W, C) float in [0, 1], or raw uint8 RGB (converted
+        to float here — bilinear blending needs float math; the convert
+        runs on device so uint8 splits ride the host->device transfer
+        at one byte per pixel-channel).
       joints_xy: (B, K, 2) image coords (x, y).
       visible: (B, K).
     Returns:
-      (images', joints', visible').
+      (images', joints', visible') with float images.
     """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) * (1.0 / 255.0)
     image_hw = (images.shape[1], images.shape[2])
     a, b = _forward_affine(params, image_hw)
     # Closed-form 2x2 inverse (elementwise; see _forward_affine on precision).

@@ -26,6 +26,39 @@ from flax import linen as nn
 from jointpose.configs import DetectorConfig
 
 
+def resolve_head_conv_impl(
+    cfg: DetectorConfig, image_hw: tuple[int, int], batch: int
+) -> str:
+    """Resolve ``head_conv_impl='auto'`` to 'direct' | 'fft' for a
+    geometry + batch.
+
+    'auto' is a per-trace decision (the roofline model depends on batch
+    size), so the same checkpoint could run the direct conv at the
+    training/eval batch and the FFT conv at the serving batch, with
+    slightly different bf16 numerics between the evaluated and the
+    served model (round-2 advisor finding).  Callers that persist or
+    reconcile the choice (checkpoint metadata, predict/serve) use this
+    single resolution point; explicit 'direct'/'fft' pass through.
+    """
+    if cfg.head_conv_impl != "auto":
+        return cfg.head_conv_impl
+    from jointpose.ops.fft_conv import use_fourier
+
+    stride = Detector.stride(cfg)
+    hm_hw = (image_hw[0] // stride, image_hw[1] // stride)
+    return (
+        "fft"
+        if use_fourier(
+            hm_hw,
+            (cfg.head_kernel, cfg.head_kernel),
+            cfg.trunk_features[-1],
+            cfg.head_features[0],
+            batch=batch,
+        )
+        else "direct"
+    )
+
+
 def _pool2x2(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
 
@@ -115,22 +148,7 @@ class Detector(nn.Module):
         # impl (ops/fft_conv.py) computes it ~14x cheaper with the same
         # parameter layout.  'auto' picks the impl with the higher
         # modeled min(MXU, HBM) roofline for this geometry and batch.
-        impl = cfg.head_conv_impl
-        if impl == "auto":
-            from jointpose.ops.fft_conv import use_fourier
-
-            hm_hw = (full.shape[1], full.shape[2])
-            impl = (
-                "fft"
-                if use_fourier(
-                    hm_hw,
-                    (cfg.head_kernel, cfg.head_kernel),
-                    full.shape[-1],
-                    cfg.head_features[0],
-                    batch=full.shape[0],
-                )
-                else "direct"
-            )
+        impl = resolve_head_conv_impl(cfg, (h, w), full.shape[0])
         if impl == "fft":
             from jointpose.ops.fft_conv import FFTConv
 

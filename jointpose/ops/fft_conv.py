@@ -228,8 +228,11 @@ def _tail_tiles(
                     fb * tb * ci + kblk + h * tb * cot
                 ) + itemsize * 2 * h * fb  # inverse-row table slices
                 # fp32 temporaries: R re/im after the pointwise matmul,
-                # then the partial row-inverse sums before the cast —
-                # plus the in-kernel K_f rows for the kdft variant.
+                # the fp32 scratch accumulators for the cross-f-step
+                # partial row-inverse sums (the += fuses into the dot's
+                # accumulation, so scratch replaces — not adds to — the
+                # former pre-cast temporaries), plus the in-kernel K_f
+                # rows for the kdft variant.
                 temps = 4 * 2 * fb * tb * cot + 4 * 2 * h * tb * cot
                 if kdft_kh:
                     temps += 4 * 2 * fb * ci * cot
@@ -239,11 +242,15 @@ def _tail_tiles(
     return None
 
 
-def _tail_body(xr, xi, kr, ki, irr_ref, iri_ref, tr_ref, ti_ref, precision):
+def _tail_body(xr, xi, kr, ki, irr_ref, iri_ref, acc_r, acc_i, precision):
     """Shared back half of both tail kernels: pointwise complex matmul
     over Ci (batched over the FB row bins) + partial complex inverse row
-    DFT accumulated into the output block — the R spectrum lives only in
-    VMEM temporaries."""
+    DFT accumulated into the fp32 scratch accumulator — the R spectrum
+    lives only in VMEM temporaries.  Accumulating across the ph//fb
+    f-steps in fp32 scratch (not the bf16 output block) avoids repeated
+    bf16 rounding of partial sums when VMEM pressure forces FB < Ph
+    (round-2 advisor finding); the single cast to the output dtype
+    happens at the last f step in the caller kernel."""
     dn = (((2,), (1,)), ((0,), (0,)))  # contract Ci, batch over FB
     bdot = functools.partial(
         lax.dot_general, dimension_numbers=dn,
@@ -267,30 +274,36 @@ def _tail_body(xr, xi, kr, ki, irr_ref, iri_ref, tr_ref, ti_ref, precision):
     i2 = rim.reshape(fb, tb * cot).astype(xr.dtype)
     tre = mm(irr, r2) - mm(iri, i2)  # (H, TB*CoT) fp32 partial sum
     tim = mm(irr, i2) + mm(iri, r2)
-    tr_ref[:, 0] += tre.reshape(h, tb, cot).astype(tr_ref.dtype)
-    ti_ref[:, 0] += tim.reshape(h, tb, cot).astype(ti_ref.dtype)
+    acc_r[:] += tre.reshape(h, tb, cot)
+    acc_i[:] += tim.reshape(h, tb, cot)
 
 
 def _tail_kernel(
-    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, tr_ref, ti_ref, *, precision
+    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, tr_ref, ti_ref,
+    acc_r, acc_i, *, precision, nf
 ):
     """Tail step with the kernel spectrum K_f read from HBM blocks."""
     f = pl.program_id(3)
 
     @pl.when(f == 0)
     def _():
-        tr_ref[:] = jnp.zeros_like(tr_ref)
-        ti_ref[:] = jnp.zeros_like(ti_ref)
+        acc_r[:] = jnp.zeros_like(acc_r)
+        acc_i[:] = jnp.zeros_like(acc_i)
 
     _tail_body(
         xr_ref[0], xi_ref[0], kr_ref[0], ki_ref[0],
-        irr_ref, iri_ref, tr_ref, ti_ref, precision,
+        irr_ref, iri_ref, acc_r, acc_i, precision,
     )
+
+    @pl.when(f == nf - 1)
+    def _():
+        tr_ref[:, 0] = acc_r[:].astype(tr_ref.dtype)
+        ti_ref[:, 0] = acc_i[:].astype(ti_ref.dtype)
 
 
 def _tail_kdft_kernel(
     xr_ref, xi_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
-    tr_ref, ti_ref, *, precision
+    tr_ref, ti_ref, acc_r, acc_i, *, precision, nf
 ):
     """Tail step that builds its K_f block IN KERNEL from the half-
     transformed kernel ``a`` (column DFT only, (1, KH, Ci, CoT) block).
@@ -306,8 +319,8 @@ def _tail_kdft_kernel(
 
     @pl.when(f == 0)
     def _():
-        tr_ref[:] = jnp.zeros_like(tr_ref)
-        ti_ref[:] = jnp.zeros_like(ti_ref)
+        acc_r[:] = jnp.zeros_like(acc_r)
+        acc_i[:] = jnp.zeros_like(acc_i)
 
     ar = ar_ref[0]  # (KH, Ci, CoT)
     ai = ai_ref[0]
@@ -327,8 +340,13 @@ def _tail_kdft_kernel(
     kr = (mmk(grr, a_r2) - mmk(gri, a_i2)).reshape(fb, ci, cot).astype(ar.dtype)
     ki = (mmk(grr, a_i2) + mmk(gri, a_r2)).reshape(fb, ci, cot).astype(ar.dtype)
     _tail_body(
-        xr_ref[0], xi_ref[0], kr, ki, irr_ref, iri_ref, tr_ref, ti_ref, precision
+        xr_ref[0], xi_ref[0], kr, ki, irr_ref, iri_ref, acc_r, acc_i, precision
     )
+
+    @pl.when(f == nf - 1)
+    def _():
+        tr_ref[:, 0] = acc_r[:].astype(tr_ref.dtype)
+        ti_ref[:, 0] = acc_i[:].astype(ti_ref.dtype)
 
 
 def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
@@ -370,11 +388,12 @@ def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
         + b * g * (8 * h * ph * co)  # complex inverse row DFT
     )
     tr, ti = pl.pallas_call(
-        functools.partial(_tail_kernel, precision=prec),
+        functools.partial(_tail_kernel, precision=prec, nf=ph // fb),
         grid=grid,
         in_specs=[x_spec(), x_spec(), k_spec(), k_spec(), c_spec(), c_spec()],
         out_specs=[t_spec(), t_spec()],
         out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((h, tb, cot), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=int(
@@ -432,12 +451,13 @@ def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
         + (b // tb) * g * ph * (8 * kh * ci * co)  # in-kernel K_f rows
     )
     tr, ti = pl.pallas_call(
-        functools.partial(_tail_kdft_kernel, precision=prec),
+        functools.partial(_tail_kdft_kernel, precision=prec, nf=ph // fb),
         grid=grid,
         in_specs=[x_spec(), x_spec(), a_spec(), a_spec(), g_spec(), g_spec(),
                   c_spec(), c_spec()],
         out_specs=[t_spec(), t_spec()],
         out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((h, tb, cot), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=int(

@@ -111,7 +111,11 @@ def maybe_inject_fault(workdir: str, step: int) -> None:
     one-shot so the post-resume run can pass the same step.
     """
     target = os.environ.get("JOINTPOSE_FAULT_AT_STEP")
-    if target is None or step != int(target):
+    # >= (not ==): the train loop may advance several steps per device
+    # dispatch (steps_per_dispatch) and only calls this at chunk
+    # boundaries — the fault fires at the first boundary at/past the
+    # target, the marker keeps it one-shot.
+    if target is None or step < int(target):
         return
     marker = os.path.join(workdir, ".fault_injected")
     if os.path.exists(marker):

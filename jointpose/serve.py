@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax.numpy as jnp
@@ -43,6 +44,11 @@ class PoseService:
         self.batch_size = batch_size
         params, self.step = restore_params(config, checkpoint_dir, step, best=best)
         self._predict = build_predictor(config, params)
+        # ThreadingHTTPServer runs one thread per request; the device is
+        # one serialized queue anyway, so serialize predict explicitly
+        # rather than relying on JAX's internal locking being
+        # thread-safe for concurrent dispatch of the same executable.
+        self._lock = threading.Lock()
         # Warm BOTH accepted input dtypes at the serving shape — each is
         # its own jit cache entry, and 'no recompiles at serving time'
         # must hold for the first uint8 request too.
@@ -69,7 +75,8 @@ class PoseService:
             # in-graph; 4x less request->device traffic); anything else
             # is treated as float in [0, 1].
             dt = jnp.uint8 if chunk.dtype == np.uint8 else jnp.float32
-            coords, _ = self._predict(jnp.asarray(chunk, dt))
+            with self._lock:
+                coords, _ = self._predict(jnp.asarray(chunk, dt))
             coords_np = np.asarray(coords)[: bs - pad if pad else bs]
             for row in coords_np:
                 out.append(

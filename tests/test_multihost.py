@@ -1,0 +1,160 @@
+"""Real multi-process jax.distributed test (round-2 verdict missing #4).
+
+All other "distributed" coverage fakes 8 devices inside ONE process;
+this launches TWO actual processes with ``jax.distributed.initialize``
+(localhost coordinator, CPU backend), builds a global ('data',) mesh
+spanning both, runs one data-parallel train step on a batch sharded
+across the processes, and asserts the loss matches the single-process
+step on the same batch — i.e. the DCN path SURVEY §5 plans for
+multi-host DP actually initializes, shards, and allreduces.
+
+The child runs in a fresh interpreter so JAX_PLATFORMS=cpu takes effect
+(this rig's sitecustomize captures the platform at startup — memory:
+env vars work for fresh subprocesses, not in-process).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_CHILD = r"""
+import os, sys
+import jax
+
+# The rig's sitecustomize force-selects the axon TPU relay regardless of
+# JAX_PLATFORMS; override in-process before any backend is touched.
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["TEST_COORD"],
+    num_processes=2,
+    process_id=int(os.environ["TEST_PID"]),
+)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.environ["TEST_REPO"])
+from jointpose.configs import get_config
+from jointpose.models.pose import PoseModel
+from jointpose.parallel.mesh import make_mesh
+from jointpose.train import create_state, make_train_step
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2, jax.device_count()          # global
+assert jax.local_device_count() == 1, jax.local_device_count()
+
+config = get_config("tiny")
+import dataclasses
+from jointpose.configs import MeshConfig
+config = config.replace(
+    train=dataclasses.replace(config.train, batch_size=2),
+    mesh=MeshConfig(data=2, model=1),  # tiny pins 1x1; span both processes
+)
+mesh = make_mesh(config.mesh)  # ('data', 'model') over both processes
+assert mesh.shape["data"] == 2, dict(mesh.shape)
+
+state = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
+# Params are identical in every process (same seed); placing them on a
+# replicated global sharding is exactly the multi-host DP layout.
+state = jax.device_put(state, NamedSharding(mesh, P()))
+
+# Deterministic global batch, identical on both processes; the 'data'
+# sharding gives each process one example.
+rng = np.random.RandomState(0)
+h, w = config.data.image_hw
+batch_np = {
+    "image": rng.rand(2, h, w, 3).astype(np.float32),
+    "joints": (rng.rand(2, 9, 2) * [w - 1, h - 1]).astype(np.float32),
+    "visible": np.ones((2, 9), np.float32),
+}
+sharded = NamedSharding(mesh, P("data"))
+batch = {
+    k: jax.make_array_from_callback(v.shape, sharded, lambda idx, v=v: v[idx])
+    for k, v in batch_np.items()
+}
+
+step_fn = make_train_step(config, "detector")
+state, metrics = step_fn(state, batch)
+# The loss is a replicated scalar: every process holds the allreduced value.
+print("DIST_LOSS", float(metrics["loss"]), flush=True)
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process(tmp_path):
+    # Reference: the same step single-process on the full batch (this
+    # test process already runs CPU-only via conftest).
+    import dataclasses
+
+    import jax
+
+    from jointpose.configs import get_config
+    from jointpose.models.pose import PoseModel
+    from jointpose.train import create_state, make_train_step
+
+    config = get_config("tiny")
+    config = config.replace(train=dataclasses.replace(config.train, batch_size=2))
+    rng = np.random.RandomState(0)
+    h, w = config.data.image_hw
+    batch = {
+        "image": rng.rand(2, h, w, 3).astype(np.float32),
+        "joints": (rng.rand(2, 9, 2) * [w - 1, h - 1]).astype(np.float32),
+        "visible": np.ones((2, 9), np.float32),
+    }
+    state = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
+    _, metrics = make_train_step(config, "detector")(state, batch)
+    want = float(metrics["loss"])
+
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env_base = {
+        # Drop the axon-relay trigger so the children stay off the one
+        # real chip (two processes sharing it would deadlock the relay).
+        **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
+        "JAX_PLATFORMS": "cpu",
+        "TEST_COORD": f"127.0.0.1:{port}",
+        "TEST_REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        # One CPU device per process — the fake-8-device flag from
+        # conftest must not leak into the children.
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env_base, "TEST_PID": str(i)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{out}"
+    losses = [
+        float(line.split()[1])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("DIST_LOSS")
+    ]
+    assert len(losses) == 2, outs
+    # Both processes hold the same allreduced loss, equal to the
+    # single-process step on the identical batch.
+    np.testing.assert_allclose(losses, want, rtol=1e-5)

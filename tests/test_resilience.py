@@ -145,8 +145,10 @@ def test_sigterm_preempts_with_checkpoint(tmp_path):
         # Wait for training to actually progress (first heartbeat step>=3).
         hb_path = os.path.join(wd, "heartbeat.json")
         # Generous: a contended CI box can take minutes of jax import +
-        # first compile before the subprocess reaches its step loop.
-        deadline = time.time() + 600
+        # first compile before the subprocess reaches its step loop (the
+        # first heartbeat now lands after a whole steps_per_dispatch
+        # chunk, and the scan-of-K program compiles slower than one step).
+        deadline = time.time() + 900
         while time.time() < deadline:
             try:
                 with open(hb_path) as f:

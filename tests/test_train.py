@@ -170,3 +170,35 @@ def test_mrf_lr_mult_scales_spatial_updates_only(tiny_config):
     )
     for a, b in zip(jax.tree.leaves(u1["detector"]), jax.tree.leaves(u2["detector"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multistep_scan_matches_single_steps(tiny_config):
+    # K steps fused in one lax.scan dispatch must replay the exact
+    # single-step sequence: the batch for step s is a pure function of
+    # (seed, s) inside the step, so state after scan(K) == state after
+    # K single steps (same params, same opt state, same step counter).
+    from jointpose.train import make_train_multistep
+
+    cfg = tiny_config.replace(
+        train=dataclasses.replace(tiny_config.train, batch_size=2)
+    )
+    train_ds, _ = make_dataset(cfg.data)
+    gen = train_ds.get_batch
+    k = 3
+    idx = jnp.arange(k * 2, dtype=jnp.int32).reshape(k, 2)
+
+    state_a = create_state(cfg, PoseModel(cfg), jax.random.PRNGKey(0))
+    single = make_train_step(cfg, "detector", get_batch=gen)
+    for i in range(k):
+        state_a, metrics_a = single(state_a, idx[i])
+
+    state_b = create_state(cfg, PoseModel(cfg), jax.random.PRNGKey(0))
+    multi = make_train_multistep(cfg, "detector", gen, k)
+    state_b, metrics_b = multi(state_b, idx)
+
+    assert int(state_a.step) == int(state_b.step) == k
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
+    )
+    for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=2e-5, atol=1e-6)
