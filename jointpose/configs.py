@@ -89,6 +89,14 @@ class MRFConfig:
     # 'auto' picks 'fft' for large stride-1 windows and the direct
     # grouped conv (+ fused Pallas epilogue per use_pallas) otherwise.
     impl: str = "auto"
+    # Matmul precision inside the message pass: 'high' = fp32-exact
+    # contractions (Mosaic rounds bf16x3 up to HIGHEST, ~6 MXU passes),
+    # 'default' = single-pass bf16 with fp32 accumulation.  Measured on
+    # the chip (round 3): the fused Fourier kernel runs ~4-6x faster at
+    # 'default'; training keeps 'high' (the log epilogue's gradients
+    # amplify small-response error) — flip inference surfaces to
+    # 'default' only with a PDJ-parity check, see BASELINE.md.
+    precision: str = "high"
     # MRF grid stride relative to the heatmap: 1 = paper-exact message
     # pass at heatmap resolution; 2 = TPU-native coarse variant — the
     # message pass runs on 2x2-pooled unaries (same physical window at
@@ -375,4 +383,21 @@ def with_pool_mode(config: Config, pool_mode: str) -> Config:
     """
     return config.replace(
         detector=dataclasses.replace(config.detector, pool_mode=pool_mode)
+    )
+
+
+def with_mrf_precision(config: Config, precision: str) -> Config:
+    """Config with the MRF message-pass matmul precision replaced.
+
+    'default' (single-pass bf16, fp32 accumulation) measured 3.7x
+    faster than 'high' on the fused Fourier kernel at the paper
+    geometry with 0.4% max rel output error (round 3,
+    results/kernels/); inference surfaces flip to it behind a PDJ-parity
+    gate, training keeps 'high'.  No-op for MRF-less configs.
+    """
+    assert precision in ("high", "default"), precision
+    if config.mrf is None:
+        return config
+    return config.replace(
+        mrf=dataclasses.replace(config.mrf, precision=precision)
     )

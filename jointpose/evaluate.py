@@ -210,6 +210,11 @@ def main(argv: list[str] | None = None) -> None:
                              "auto-adopted from the checkpoint's recorded "
                              "run_config.json; an override contradicting the "
                              "record is an error)")
+    parser.add_argument("--mrf-precision", choices=["high", "default"], default=None,
+                        help="matmul precision inside the MRF message pass "
+                             "(measured round 3: 'default' is 3.7x faster on "
+                             "chip at 0.4% max rel output err; this flag is "
+                             "the PDJ-parity gate for flipping inference)")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -226,6 +231,12 @@ def main(argv: list[str] | None = None) -> None:
         config = config.replace(eval_flip_tta=args.tta)
     if args.refine is not None:
         config = config.replace(decode_refine=args.refine)
+    if args.mrf_precision is not None and config.mrf is not None:
+        import dataclasses
+
+        config = config.replace(
+            mrf=dataclasses.replace(config.mrf, precision=args.mrf_precision)
+        )
     from jointpose.checkpoint import reconcile_config
 
     config = reconcile_config(config, args.checkpoint, args.pool_mode)

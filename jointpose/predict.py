@@ -119,11 +119,19 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel inference over this many devices "
                              "(0 = single device; must divide the batch size)")
+    parser.add_argument("--mrf-precision", choices=["high", "default"],
+                        default="default",
+                        help="MRF message-pass matmul precision; inference "
+                             "defaults to 'default' (single-pass bf16 — "
+                             "measured 3.7x faster, PDJ-parity gated; "
+                             "BASELINE.md round 3)")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
+    from jointpose.configs import with_mrf_precision
 
     config = reconcile_config(get_config(args.config), args.checkpoint, args.pool_mode)
+    config = with_mrf_precision(config, args.mrf_precision)
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     mesh = None
     if args.mesh_data > 1:

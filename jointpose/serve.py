@@ -144,11 +144,18 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
                         help="override the trunk downsampling mode (normally "
                              "auto-adopted from the checkpoint's metadata)")
+    parser.add_argument("--mrf-precision", choices=["high", "default"],
+                        default="default",
+                        help="MRF message-pass matmul precision; serving "
+                             "defaults to 'default' (measured 3.7x faster, "
+                             "PDJ-parity gated; BASELINE.md round 3)")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
+    from jointpose.configs import with_mrf_precision
 
     config = reconcile_config(get_config(args.config), args.checkpoint, args.pool_mode)
+    config = with_mrf_precision(config, args.mrf_precision)
     service = PoseService(
         config, args.checkpoint, args.batch_size, step=args.step
     )

@@ -31,7 +31,10 @@ from jointpose.perf import PEAK_BF16_FLOPS, aot_compile
 def time_fn(name: str, fn, *args, algo_flops: float) -> dict:
     jitted = jax.jit(fn)
     compiled, cost = aot_compile(jitted, *args)
-    t = measure_device_time(compiled, *args, iters=6, warmup=2, program_name=name)
+    # program_name=None: devtime unwraps the executable's real HLO
+    # module name (the trace events are named jit_<module>, not after
+    # our display label).
+    t = measure_device_time(compiled, *args, iters=6, warmup=2)
     if t is None:
         return {"name": name, "error": "no device events"}
     ms = t.median_run_s * 1e3
@@ -99,6 +102,13 @@ def mrf_variants(batch: int) -> list[dict]:
         "mrf_pallas_epilogue": mrf_message_pass_pallas,
         "mrf_fft_xla": mrf_message_pass_fft,
         "mrf_fft_fused_pallas": mrf_message_pass_fft_fused,
+        # MRFConfig.precision='default': single-pass bf16 matmuls with
+        # fp32 accumulation instead of the 3-pass bf16 HIGHEST rounding
+        # — the evidence row for the inference-surface precision flip
+        # (PDJ-parity gated, see BASELINE.md round 3).
+        "mrf_fft_fused_pallas_defprec": functools.partial(
+            mrf_message_pass_fft_fused, precision=jax.lax.Precision.DEFAULT
+        ),
     }
     return [
         time_fn(name, fn, p, kernels, biases, algo_flops=algo)
