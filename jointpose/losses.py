@@ -49,6 +49,40 @@ def heatmap_ce(
     return jnp.sum(ce * vis) / jnp.maximum(jnp.sum(vis), 1.0)
 
 
+def mrf_heatmap_loss(
+    kind: str, log_heatmaps: jnp.ndarray, targets: dict, visible: jnp.ndarray
+) -> jnp.ndarray:
+    """Loss on the spatial model's log-space output (SURVEY C8).
+
+    'ce': log p̄ goes straight into the spatial softmax CE (the
+    log-softmax shift-normalizes it).
+
+    'mse': the paper's per-pixel regression — but regressing the RAW
+    log-space output against a [0,1] Gaussian is degenerate: log p̄ is
+    a sum of K log-messages, unbounded below, so the raw-MSE gradient
+    is dominated by calibrating an arbitrary offset.  The regression
+    space is therefore the peak-normalized heatmap
+    ``exp(log p̄ − max log p̄)`` ∈ (0,1] — peak exactly 1, directly
+    comparable to the 'peak1' target, and invariant to the message
+    products' global scale, matching how the decode (argmax + local
+    refinement) consumes the same output.
+    """
+    if kind == "ce":
+        return heatmap_ce(log_heatmaps, targets["dist"], visible)
+    if kind == "mse":
+        lhm = log_heatmaps.astype(jnp.float32)
+        peak = jnp.max(lhm, axis=(1, 2), keepdims=True)
+        # Peak-normalize the target as well: its rendered max is <1 for
+        # off-pixel-center joints, and both sides peaking at exactly 1
+        # makes a perfect shape match an exact zero of the loss.  (The
+        # max guard only protects invisible joints' all-zero targets
+        # from 0/0; their contribution is masked out in heatmap_mse.)
+        tgt = targets["peak1"].astype(jnp.float32)
+        tgt = tgt / jnp.maximum(jnp.max(tgt, axis=(1, 2), keepdims=True), 1e-6)
+        return heatmap_mse(jnp.exp(lhm - peak), tgt, visible)
+    raise ValueError(f"unknown loss kind {kind!r}")
+
+
 def heatmap_loss(
     kind: str, pred: jnp.ndarray, targets: dict, visible: jnp.ndarray
 ) -> jnp.ndarray:

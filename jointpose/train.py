@@ -39,7 +39,7 @@ from jointpose.data.augment import augment_batch, random_augment_params
 from jointpose.data.pipeline import make_dataset
 from jointpose.data.targets import render_gaussian_heatmaps
 from jointpose.evaluate import evaluate
-from jointpose.losses import heatmap_loss
+from jointpose.losses import heatmap_loss, mrf_heatmap_loss
 from jointpose.models.mrf import priors_to_raw_kernels
 from jointpose.models.pose import PoseModel
 from jointpose.parallel.mesh import make_mesh, shard_batch, shard_params
@@ -137,7 +137,7 @@ def _make_step_body(
         )
         metrics = {"detector_loss": det}
         if use_mrf:
-            mrf = heatmap_loss(
+            mrf = mrf_heatmap_loss(
                 config.train.mrf_loss, out["mrf_log_heatmaps"], targets, visible
             )
             metrics["mrf_loss"] = mrf

@@ -175,3 +175,28 @@ def test_evaluate_counts_each_example_once(tiny_config):
         c = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=bs))
         ev = evaluate(params, test_ds, c, model.apply)
         assert ev["num_examples"] == test_ds.size, (bs, ev["num_examples"])
+
+def test_mrf_mse_peak_normalized_space():
+    """mrf_loss='mse' regresses exp(log p̄ − max) against the peak-1
+    target: zero at a log-space output matching the target up to a
+    global log-offset, positive for a shifted peak (train.py loss_fn)."""
+    from jointpose.losses import mrf_heatmap_loss
+
+    joints = jnp.asarray(np.random.RandomState(1).uniform(3, 12, (2, K, 2)), jnp.float32)
+    vis = jnp.ones((2, K))
+    peak1 = render_gaussian_heatmaps(joints, vis, (16, 16), 1.5)
+    targets = {"peak1": peak1, "dist": peak1 / jnp.sum(peak1, (1, 2), keepdims=True)}
+    # Any global offset in log space is invariant (message-product scale).
+    good = jnp.log(peak1 + 1e-20) - 37.0
+    np.testing.assert_allclose(
+        float(mrf_heatmap_loss("mse", good, targets, vis)), 0.0, atol=1e-9
+    )
+    shifted = render_gaussian_heatmaps(joints + 5.0, vis, (16, 16), 1.5)
+    bad = jnp.log(shifted + 1e-20) - 37.0
+    assert float(mrf_heatmap_loss("mse", bad, targets, vis)) > 1e-4
+    # 'ce' dispatch unchanged vs calling heatmap_ce directly.
+    np.testing.assert_allclose(
+        float(mrf_heatmap_loss("ce", good, targets, vis)),
+        float(heatmap_ce(good, targets["dist"], vis)),
+        rtol=1e-6,
+    )
