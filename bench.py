@@ -193,6 +193,12 @@ def pallas_parity_check(batch: int = 4) -> dict:
 
 def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     config = get_config("flagship")
+    # Production inference precision (predict/serve default): single-pass
+    # bf16 MRF matmuls.  The flagship's full-split PDJ curves are
+    # bitwise IDENTICAL at this setting (results/precision_gate/).
+    from jointpose.configs import with_mrf_precision
+
+    config = with_mrf_precision(config, "default")
     model, forward = build_inference_fn(config)
     rng = jax.random.PRNGKey(0)
     # Production ingest: raw uint8 RGB, normalized in-graph (the convert

@@ -59,6 +59,9 @@ checkpoints restore interchangeably across impls.
 from __future__ import annotations
 
 import functools
+import hashlib
+import json
+import os
 from typing import Any
 
 import jax
@@ -408,6 +411,173 @@ def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
     return tr, ti
 
 
+# Row-bin chunk for the in-kernel K_f build: divides every Ph the
+# fused tail sees (row_pad_to=8) and bounds the build's fp32 slabs to
+# 3 * 4*8*Ci*CoT bytes (~1.5 MiB at the paper head).
+_KF_BUILD_CHUNK = 8
+
+
+def _tail_tiles_resident(
+    ph: int, h: int, b: int, ci: int, co: int, itemsize: int, kh: int
+) -> list[tuple[int, int]]:
+    """VMEM-feasible (TB, CoT) candidates for the resident-K_f tail,
+    largest batch tile first (empty when none fit).
+
+    The f-blocked tail's inverse row DFT contracts only FB row bins per
+    grid step — FB=8 at the paper head, i.e. a K=8 matmul that leaves
+    ~94% of the MXU's 128-deep contraction idle and was measured as the
+    dominant term of the 10.7 ms tail (results/frontier, round 3).
+    This variant keeps the WHOLE row-bin axis in one step (K=Ph
+    contraction, no cross-step accumulator) and makes the batch axis
+    the innermost grid dim, with the (Ph, Ci, CoT) K_f block built once
+    per (g, co-tile) into VMEM scratch and reused across batch blocks.
+    """
+    cot = 128 if co % 128 == 0 else co
+    out = []
+    for tb in [v for v in (128, 64, 32, 16, 8) if b % v == 0] or [b]:
+        blocks = itemsize * 2 * (ph * tb * ci + kh * ci * cot + h * tb * cot) + (
+            itemsize * 2 * (ph * kh + ph * h)  # resident DFT tables
+        )
+        scratch = itemsize * 2 * ph * ci * cot  # resident K_f (re+im)
+        # fp32 temporaries on the main path: R after the pointwise
+        # matmul (+ its bf16 recast) and T before the output cast.
+        temps = (
+            (8 + 2 * itemsize) * ph * tb * cot + 8 * h * tb * cot
+            # K_f chunk build: two fp32 mmk outputs + the combined
+            # result per (chunk, Ci*CoT) slab (see the kernel).
+            + 3 * 4 * _KF_BUILD_CHUNK * ci * cot
+        )
+        # Budget anchored to Mosaic's 16 MiB scoped-vmem limit: the
+        # un-chunked build overshot it by exactly the unmodeled fp32
+        # (Ph, Ci*CoT) slabs (17.34 M vs 16 M, round-3 probe), so the
+        # model now carries every term and keeps ~2 MiB headroom.
+        if 2 * blocks + scratch + temps <= 14 * 2**20:
+            out.append((tb, cot))
+    return out
+
+
+def _tail_kdft_resident_kernel(
+    xr_ref, xi_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
+    tr_ref, ti_ref, kfr, kfi, *, precision
+):
+    """Resident-K_f tail step: full-Ph pointwise + inverse row DFT in
+    one shot (K=Ph contraction), K_f built into VMEM scratch at the
+    first batch block of each (g, co-tile) and reused for the rest."""
+    ib = pl.program_id(2)
+
+    @pl.when(ib == 0)
+    def _():
+        ar = ar_ref[0]  # (KH, Ci, CoT)
+        ai = ai_ref[0]
+        kh, ci, cot = ar.shape
+        a_r2 = ar.reshape(kh, ci * cot)
+        a_i2 = ai.reshape(kh, ci * cot)
+        mmk = functools.partial(
+            lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ph = grr_ref.shape[0]
+        # Chunked over row bins: a full-Ph build holds several fp32
+        # (Ph, Ci*CoT) slabs at once — 4.7 MB each at the paper head —
+        # which overflowed the 16 MiB scoped-vmem stack (probe, round
+        # 3).  Per-chunk slabs are CHUNK/Ph of that and the loop is
+        # unrolled at trace time (ph is static, a multiple of 8 by
+        # row_pad_to).
+        step = _KF_BUILD_CHUNK
+        for p0 in range(0, ph, step):
+            grr = grr_ref[p0:p0 + step]  # (step, KH)
+            gri = gri_ref[p0:p0 + step]
+            kfr[p0:p0 + step] = (mmk(grr, a_r2) - mmk(gri, a_i2)).reshape(
+                step, ci, cot
+            ).astype(kfr.dtype)
+            kfi[p0:p0 + step] = (mmk(grr, a_i2) + mmk(gri, a_r2)).reshape(
+                step, ci, cot
+            ).astype(kfi.dtype)
+
+    xr = xr_ref[0]  # (Ph, TB, Ci)
+    xi = xi_ref[0]
+    kr = kfr[:]
+    ki = kfi[:]
+    dn = (((2,), (1,)), ((0,), (0,)))  # contract Ci, batch over Ph
+    bdot = functools.partial(
+        lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    rre = bdot(xr, kr) + bdot(xi, ki)  # (Ph, TB, CoT) fp32
+    rim = bdot(xi, kr) - bdot(xr, ki)
+    ph, tb, cot = rre.shape
+    irr, iri = irr_ref[:], iri_ref[:]  # (Ph, H)
+    h = irr.shape[1]
+    mm = functools.partial(
+        lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    r2 = rre.reshape(ph, tb * cot).astype(xr.dtype)
+    i2 = rim.reshape(ph, tb * cot).astype(xr.dtype)
+    tre = mm(irr, r2) - mm(iri, i2)  # (H, TB*CoT) fp32
+    tim = mm(irr, i2) + mm(iri, r2)
+    tr_ref[:, 0] = tre.reshape(h, tb, cot).astype(tr_ref.dtype)
+    ti_ref[:, 0] = tim.reshape(h, tb, cot).astype(ti_ref.dtype)
+
+
+def _tail_call_kdft_resident(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *,
+                             h: int, tb: int, cot: int, prec):
+    """pallas_call for the resident-K_f tail — grid (G, Co/CoT, B/TB),
+    batch innermost so the K_f scratch survives across batch blocks."""
+    g, ph, b, ci = xr.shape
+    kh, co = ar.shape[1], ar.shape[-1]
+    grid = (g, co // cot, b // tb)
+
+    flops = int(
+        b * g * (8 * ph * ci * co)  # pointwise complex matmul
+        + b * g * (8 * h * ph * co)  # complex inverse row DFT
+        + g * (co // cot) * (8 * ph * kh * ci * cot)  # K_f once per (g, o)
+    )
+    tr, ti = pl.pallas_call(
+        functools.partial(_tail_kdft_resident_kernel, precision=prec),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ph, tb, ci), lambda gg, o, ib: (gg, 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph, tb, ci), lambda gg, o, ib: (gg, 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, ci, cot), lambda gg, o, ib: (gg, 0, 0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, ci, cot), lambda gg, o, ib: (gg, 0, 0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, kh), lambda gg, o, ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, kh), lambda gg, o, ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, h), lambda gg, o, ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, h), lambda gg, o, ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((h, 1, tb, cot), lambda gg, o, ib: (0, gg, ib, o),
+                         memory_space=pltpu.VMEM),
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((ph, ci, cot), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                2 * xr.size * xr.dtype.itemsize * (co // cot)
+                + 2 * ar.size * ar.dtype.itemsize
+                + 2 * h * g * b * co * xr.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xr, xi, ar, ai, grr, gri, irr_t, iri_t)
+    return tr, ti
+
+
 def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
                     tb: int, cot: int, fb: int, prec):
     """The kdft pallas_call: K_f built in kernel — see _tail_kdft_kernel."""
@@ -472,10 +642,51 @@ def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
     return tr, ti
 
 
+def _probe_cache_path() -> str:
+    return os.path.join(
+        os.environ.get("JOINTPOSE_CACHE_DIR", os.path.expanduser("~/.cache/jointpose")),
+        "tail_probe_cache.json",
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _probe_cache_load() -> dict:
+    try:
+        with open(_probe_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _probe_cache_store(key: str, ok: bool) -> None:
+    # Best-effort: losing a write (or the whole file) only costs the
+    # next process one re-probe.
+    try:
+        path = _probe_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cache = dict(_probe_cache_load())
+        cache[key] = ok
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+@functools.lru_cache(maxsize=1)
+def _source_fingerprint() -> str:
+    # Probe verdicts are only reusable while the kernels that were
+    # probed are byte-identical; any edit to this module invalidates.
+    with open(__file__, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:16]
+
+
 @functools.lru_cache(maxsize=None)
 def _tail_compile_ok(
     g: int, ph: int, b: int, ci: int, co: int, h: int, dtype_name: str,
     tb: int, cot: int, fb: int, prec, kdft_kh: int = 0,
+    resident: bool = False,
 ) -> bool:
     """One-time AOT probe that the fused tail actually compiles.
 
@@ -484,12 +695,21 @@ def _tail_compile_ok(
     accept a tiling the real compiler rejects, and a Mosaic compile
     error inside the user's jit would crash training/serving with no
     way to catch it there.  Probing the bare pallas_call once per
-    geometry (memoized for the process) turns that crash into a clean
-    XLA-tail fallback.  Cost: one extra tail-only compile per distinct
-    geometry — small against any real run.
+    geometry turns that crash into a clean XLA-tail fallback.  Verdicts
+    are memoized in-process AND on disk (keyed by geometry + a hash of
+    this file): on the remote-compile rig each probe costs 10-30 s, so
+    bench/serve/train re-probing identical geometries every process was
+    the dominant startup cost (round 3).
     """
     if _use_interpret():
         return True
+    key = "|".join(map(str, (
+        _source_fingerprint(), jax.default_backend(), g, ph, b, ci, co, h,
+        dtype_name, tb, cot, fb, prec, kdft_kh, resident,
+    )))
+    cached = _probe_cache_load().get(key)
+    if cached is not None:
+        return cached
     dt = jnp.dtype(dtype_name)
     x_sh = jax.ShapeDtypeStruct((g, ph, b, ci), dt)
     tab = jax.ShapeDtypeStruct((ph, h), dt)
@@ -502,9 +722,14 @@ def _tail_compile_ok(
             jax.ShapeDtypeStruct((ph, kdft_kh), dt),
             tab, tab,
         ]
-        fn = functools.partial(
-            _tail_call_kdft, h=h, tb=tb, cot=cot, fb=fb, prec=prec
-        )
+        if resident:
+            fn = functools.partial(
+                _tail_call_kdft_resident, h=h, tb=tb, cot=cot, prec=prec
+            )
+        else:
+            fn = functools.partial(
+                _tail_call_kdft, h=h, tb=tb, cot=cot, fb=fb, prec=prec
+            )
     else:
         shapes = [
             x_sh, x_sh,
@@ -515,9 +740,11 @@ def _tail_compile_ok(
         fn = functools.partial(_tail_call, h=h, tb=tb, cot=cot, fb=fb, prec=prec)
     try:
         jax.jit(fn).lower(*shapes).compile()
-        return True
+        ok = True
     except Exception:
-        return False
+        ok = False
+    _probe_cache_store(key, ok)
+    return ok
 
 
 def _pallas_tail(xr, xi, kr, ki, t, h: int, precision):
@@ -554,11 +781,25 @@ def _pallas_tail_kdft(xr, xi, a_re, a_im, t, h: int, precision):
     never touches HBM.  Returns None to fall back (plain tail or XLA)."""
     g, ph, b, ci = xr.shape
     kh, co = a_re.shape[1], a_re.shape[-1]
+    prec = _round_prec(precision)
+    # Resident-K_f variant first: full-Ph inverse contraction (the
+    # f-blocked kernel's K=FB=8 inverse matmul ran the MXU at ~6% and
+    # dominated the measured tail time — round 3, results/frontier).
+    for tb, cot in _tail_tiles_resident(
+        ph, h, b, ci, co, xr.dtype.itemsize, kh
+    ):
+        if _tail_compile_ok(
+            g, ph, b, ci, co, h, str(xr.dtype), tb, cot, ph, prec,
+            kdft_kh=kh, resident=True,
+        ):
+            return _tail_call_kdft_resident(
+                xr, xi, a_re, a_im, t["gr_re"], t["gr_im"],
+                t["ir_re"].T, t["ir_im"].T, h=h, tb=tb, cot=cot, prec=prec,
+            )
     tiles = _tail_tiles(ph, h, b, ci, co, xr.dtype.itemsize, kdft_kh=kh)
     if tiles is None:
         return None
     tb, cot, fb = tiles
-    prec = _round_prec(precision)
     if not _tail_compile_ok(
         g, ph, b, ci, co, h, str(xr.dtype), tb, cot, fb, prec, kdft_kh=kh
     ):

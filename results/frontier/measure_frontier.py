@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 import jax
 
 from bench import build_inference_fn
-from jointpose.configs import get_config
+from jointpose.configs import get_config, with_mrf_precision
 from jointpose.perf import compiled_cost, roofline_images_per_sec
 
 POINTS = ["single_scale", "multires", "mrf", "joint", "eval_tta", "flagship", "flagship_slim"]
@@ -50,6 +50,11 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     from jointpose.perf import PEAK_BF16_FLOPS, aot_compile
 
     config = get_config(name)
+    # Frontier rows describe the PRODUCTION inference program, which
+    # (round 3) runs the MRF message pass at single-pass bf16 — the
+    # predict/serve default, PDJ-parity gated in
+    # results/precision_gate/summary.json.
+    config = with_mrf_precision(config, "default")
     if config.eval_flip_tta:
         model, forward = build_tta_inference_fn(config)
     else:
@@ -78,6 +83,7 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
         },
         "tta": config.eval_flip_tta,
         "input_dtype": "uint8",
+        "mrf_precision": None if config.mrf is None else config.mrf.precision,
     }
     # Round 3: measured device time (jointpose/devtime.py) — the real
     # number next to the model-derived roofline.

@@ -39,9 +39,15 @@ def measure(preset: str, stage: str, k: int = 10) -> dict:
     b = config.train.batch_size
     step_fn = make_train_multistep(config, stage, train_ds.get_batch, k)
     idx = jnp.arange(k * b, dtype=jnp.int32).reshape(k, b)
-    compiled, cost = aot_compile(step_fn, state, idx)
+    compiled, _ = aot_compile(step_fn, state, idx)
     n_img = b * k
-    flops_img, bytes_img = cost["flops"] / n_img, cost["bytes"] / n_img
+    # XLA's cost analysis counts a scan/while BODY ONCE regardless of
+    # trip count (verified: cost(k=10) ~= cost(k=1)), so per-image cost
+    # must come from the k=1 program, not the timed k-step one.
+    step1 = make_train_multistep(config, stage, train_ds.get_batch, 1)
+    state1 = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
+    _, cost = aot_compile(step1, state1, idx[:1])
+    flops_img, bytes_img = cost["flops"] / b, cost["bytes"] / b
     roof = roofline_images_per_sec(flops_img, bytes_img)
 
     # Device time: the step donates its state, so feed the chain forward
@@ -58,12 +64,13 @@ def measure(preset: str, stage: str, k: int = 10) -> dict:
     t = parse_trace("/tmp/jp_train_trace", name.removeprefix("jit_"))
 
     # Host dispatch rate over the same chained loop (relay-inflated
-    # upper bound; reported for the gap column).
-    s2 = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
+    # upper bound; reported for the gap column).  Keep chaining the
+    # traced state: a fresh create_state() builds new optax closures
+    # whose function identities break the compiled treedef match.
     t0 = time.perf_counter()
     n_disp = 6
     for _ in range(n_disp):
-        s2, m2 = compiled(s2, idx)
+        s, m2 = compiled(s, idx)
     jax.block_until_ready(m2)
     dispatch_ips = n_disp * n_img / (time.perf_counter() - t0)
 

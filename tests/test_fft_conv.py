@@ -186,3 +186,33 @@ def test_failed_tail_compile_probe_falls_back_to_xla(monkeypatch):
     b = mod.fft_conv2d(x, k, precision=lax.Precision.HIGHEST, pallas_tail=False)
     scale = float(jnp.max(jnp.abs(b)))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5 * scale)
+
+
+def test_resident_tail_matches_fblocked_tail():
+    """Both kdft tail variants (resident-K_f batch-innermost vs the
+    f-blocked accumulator kernel) compute identical math; pin their
+    parity directly so whichever _pallas_tail_kdft selects, the other
+    stays covered."""
+    from jointpose.ops import fft_conv as mod
+
+    rngs = jax.random.split(jax.random.PRNGKey(11), 2)
+    x = jax.random.normal(rngs[0], (4, 20, 24, 16), jnp.float32)
+    k = jax.random.normal(rngs[1], (9, 9, 16, 32), jnp.float32)
+
+    real = mod._tail_tiles_resident
+    try:
+        # Force the f-blocked path by making the resident tiling fail.
+        mod._tail_tiles_resident = lambda *a, **kw: []
+        fblocked = mod.fft_conv2d(
+            x, k, precision=lax.Precision.HIGHEST, pallas_tail=True
+        )
+    finally:
+        mod._tail_tiles_resident = real
+    assert real(32, 20, 4, 16, 32, 4, 9)  # resident must engage (ph=32 here)
+    resident = mod.fft_conv2d(
+        x, k, precision=lax.Precision.HIGHEST, pallas_tail=True
+    )
+    scale = float(jnp.max(jnp.abs(fblocked)))
+    np.testing.assert_allclose(
+        np.asarray(resident), np.asarray(fblocked), atol=2e-5 * scale
+    )
