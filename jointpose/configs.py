@@ -121,6 +121,13 @@ class AugmentConfig:
     # disables it (identity).  Applied before scale/rotate/flip; composed
     # into the same single affine, so it costs nothing extra.
     crop_frac_range: tuple[float, float] = (1.0, 1.0)
+    # Image-resample implementation: 'gather' is map_coordinates
+    # bilinear (the historical training stream); 'shear' is the
+    # gather-free two-pass Pallas matmul resample
+    # (jointpose/ops/warp_pallas.py) — ~400x less warp HBM traffic,
+    # equally valid but different sample values under rotation, so
+    # flipping it changes the (seed, step) training stream.
+    warp_impl: str = "gather"
 
 
 @dataclass(frozen=True)

@@ -214,6 +214,7 @@ def augment_batch(
     joints_xy: jnp.ndarray,
     visible: jnp.ndarray,
     params: AugmentParams,
+    warp_impl: str = "gather",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Warp a batch of images and transform their joint annotations.
 
@@ -224,6 +225,9 @@ def augment_batch(
         at one byte per pixel-channel).
       joints_xy: (B, K, 2) image coords (x, y).
       visible: (B, K).
+      warp_impl: 'gather' (map_coordinates bilinear, the historical
+        stream) or 'shear' (two-pass Pallas matmul resample,
+        ~400x less HBM traffic; AugmentConfig.warp_impl).
     Returns:
       (images', joints', visible') with float images.
     """
@@ -243,6 +247,16 @@ def augment_batch(
     b_inv = jnp.stack(
         [-(inv00 * b[:, 0] + inv01 * b[:, 1]), -(inv10 * b[:, 0] + inv11 * b[:, 1])], -1
     )
-    warped = _warp_images(images, a_inv, b_inv)
+    if warp_impl == "shear":
+        # Gather-free two-pass resample (jointpose/ops/warp_pallas.py):
+        # ~2 MB/img of traffic vs the gather's measured ~0.8 GB/img.
+        # Different (equally valid) sample values under rotation, so
+        # presets that enable it get a different training stream — see
+        # BASELINE.md round 3.
+        from jointpose.ops.warp_pallas import shear_warp
+
+        warped = shear_warp(images, a_inv, b_inv)
+    else:
+        warped = _warp_images(images, a_inv, b_inv)
     joints_out, vis_out = transform_joints(joints_xy, visible, params, image_hw)
     return warped, joints_out, vis_out

@@ -432,27 +432,32 @@ def _tail_tiles_resident(
     the innermost grid dim, with the (Ph, Ci, CoT) K_f block built once
     per (g, co-tile) into VMEM scratch and reused across batch blocks.
     """
-    cot = 128 if co % 128 == 0 else co
+    # Larger CoT first: the x-spectrum is streamed once per co-tile, so
+    # CoT=256 halves that re-read relative to 128 (944 -> 472 MB at the
+    # paper head).  TB falls back toward 8 to keep the bigger K_f
+    # scratch + blocks inside the scoped-vmem budget.
+    cots = [v for v in (256, 128) if co % v == 0] or [co]
     out = []
-    for tb in [v for v in (128, 64, 32, 16, 8) if b % v == 0] or [b]:
-        blocks = itemsize * 2 * (ph * tb * ci + kh * ci * cot + h * tb * cot) + (
-            itemsize * 2 * (ph * kh + ph * h)  # resident DFT tables
-        )
-        scratch = itemsize * 2 * ph * ci * cot  # resident K_f (re+im)
-        # fp32 temporaries on the main path: R after the pointwise
-        # matmul (+ its bf16 recast) and T before the output cast.
-        temps = (
-            (8 + 2 * itemsize) * ph * tb * cot + 8 * h * tb * cot
-            # K_f chunk build: two fp32 mmk outputs + the combined
-            # result per (chunk, Ci*CoT) slab (see the kernel).
-            + 3 * 4 * _KF_BUILD_CHUNK * ci * cot
-        )
-        # Budget anchored to Mosaic's 16 MiB scoped-vmem limit: the
-        # un-chunked build overshot it by exactly the unmodeled fp32
-        # (Ph, Ci*CoT) slabs (17.34 M vs 16 M, round-3 probe), so the
-        # model now carries every term and keeps ~2 MiB headroom.
-        if 2 * blocks + scratch + temps <= 14 * 2**20:
-            out.append((tb, cot))
+    for cot in cots:
+        for tb in [v for v in (128, 64, 32, 16, 8) if b % v == 0] or [b]:
+            blocks = itemsize * 2 * (
+                ph * tb * ci + kh * ci * cot + h * tb * cot
+            ) + itemsize * 2 * (ph * kh + ph * h)  # resident DFT tables
+            scratch = itemsize * 2 * ph * ci * cot  # resident K_f (re+im)
+            # fp32 temporaries on the main path: R after the pointwise
+            # matmul (+ its bf16 recast) and T before the output cast.
+            temps = (
+                (8 + 2 * itemsize) * ph * tb * cot + 8 * h * tb * cot
+                # K_f chunk build: two fp32 mmk outputs + the combined
+                # result per (chunk, Ci*CoT) slab (see the kernel).
+                + 3 * 4 * _KF_BUILD_CHUNK * ci * cot
+            )
+            # Budget anchored to Mosaic's 16 MiB scoped-vmem limit: the
+            # un-chunked build overshot it by exactly the unmodeled fp32
+            # (Ph, Ci*CoT) slabs (17.34 M vs 16 M, round-3 probe), so
+            # the model carries every term and keeps ~2 MiB headroom.
+            if 2 * blocks + scratch + temps <= 14 * 2**20:
+                out.append((tb, cot))
     return out
 
 

@@ -159,7 +159,10 @@ def _make_step_body(
             params_aug = random_augment_params(
                 rng, images.shape[0], config.augment, config.data.image_hw
             )
-            images, joints, visible = augment_batch(images, joints, visible, params_aug)
+            images, joints, visible = augment_batch(
+                images, joints, visible, params_aug,
+                warp_impl=config.augment.warp_impl,
+            )
         targets = _render_targets(config, joints, visible)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(
@@ -578,6 +581,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None,
                         help="trunk downsampling: paper maxpool or fused "
                              "stride-2 conv (same param shapes)")
+    parser.add_argument("--warp-impl", choices=["gather", "shear"], default=None,
+                        help="augmentation image resample: map_coordinates "
+                             "gather (historical stream) or the gather-free "
+                             "Pallas shear resample (~1.9x measured train "
+                             "step speedup; different RNG-equivalent stream)")
     parser.add_argument("--source", choices=["synthetic", "flic"], default=None)
     parser.add_argument("--eval-max-batches", type=int, default=None)
     parser.add_argument("--figures", action="store_true",
@@ -620,6 +628,10 @@ def main(argv: list[str] | None = None) -> None:
         from jointpose.configs import with_pool_mode
 
         config = with_pool_mode(config, args.pool_mode)
+    if args.warp_impl is not None:
+        config = config.replace(
+            augment=dataclasses.replace(config.augment, warp_impl=args.warp_impl)
+        )
     if args.source is not None:
         config = config.replace(
             data=dataclasses.replace(config.data, source=args.source)

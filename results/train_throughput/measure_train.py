@@ -32,8 +32,14 @@ from jointpose.perf import aot_compile, roofline_images_per_sec
 from jointpose.train import create_state, make_train_multistep
 
 
-def measure(preset: str, stage: str, k: int = 10) -> dict:
+def measure(preset: str, stage: str, k: int = 10, warp_impl: str | None = None) -> dict:
+    import dataclasses
+
     config = get_config(preset)
+    if warp_impl is not None:
+        config = dataclasses.replace(
+            config, augment=dataclasses.replace(config.augment, warp_impl=warp_impl)
+        )
     train_ds, _ = make_dataset(config.data)
     state = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
     b = config.train.batch_size
@@ -77,6 +83,7 @@ def measure(preset: str, stage: str, k: int = 10) -> dict:
     row = {
         "preset": preset,
         "stage": stage,
+        "warp_impl": config.augment.warp_impl,
         "batch": b,
         "steps_per_dispatch": k,
         "gflop_per_image": round(flops_img / 1e9, 2),
@@ -97,6 +104,11 @@ def main():
         measure("joint", "detector"),
         measure("joint", "joint"),
         measure("flagship", "joint"),
+        # Round-3 lever (verdict weak #2): the gather-free shear warp
+        # (ops/warp_pallas.py) removes the augmentation's dominant HBM
+        # term; the pair of rows isolates its effect on the same stage.
+        measure("joint", "joint", warp_impl="shear"),
+        measure("flagship", "joint", warp_impl="shear"),
     ]
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "train_times.json"), "w") as f:
