@@ -282,7 +282,7 @@ def _tail_body(xr, xi, kr, ki, irr_ref, iri_ref, acc_r, acc_i, precision):
 
 
 def _tail_kernel(
-    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, tr_ref, ti_ref,
+    xr_ref, xi_ref, kr_ref, ki_ref, irr_ref, iri_ref, t_ref,
     acc_r, acc_i, *, precision, nf
 ):
     """Tail step with the kernel spectrum K_f read from HBM blocks."""
@@ -300,13 +300,13 @@ def _tail_kernel(
 
     @pl.when(f == nf - 1)
     def _():
-        tr_ref[:, 0] = acc_r[:].astype(tr_ref.dtype)
-        ti_ref[:, 0] = acc_i[:].astype(ti_ref.dtype)
+        t_ref[:, 0, 0] = acc_r[:].astype(t_ref.dtype)
+        t_ref[:, 1, 0] = acc_i[:].astype(t_ref.dtype)
 
 
 def _tail_kdft_kernel(
     xr_ref, xi_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
-    tr_ref, ti_ref, acc_r, acc_i, *, precision, nf
+    t_ref, acc_r, acc_i, *, precision, nf
 ):
     """Tail step that builds its K_f block IN KERNEL from the half-
     transformed kernel ``a`` (column DFT only, (1, KH, Ci, CoT) block).
@@ -348,8 +348,8 @@ def _tail_kdft_kernel(
 
     @pl.when(f == nf - 1)
     def _():
-        tr_ref[:, 0] = acc_r[:].astype(tr_ref.dtype)
-        ti_ref[:, 0] = acc_i[:].astype(ti_ref.dtype)
+        t_ref[:, 0, 0] = acc_r[:].astype(t_ref.dtype)
+        t_ref[:, 1, 0] = acc_i[:].astype(t_ref.dtype)
 
 
 def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
@@ -381,8 +381,13 @@ def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
         )
 
     def t_spec():
+        # Single (h, 2, g, b, co) output: re at [:, 0], im at [:, 1] —
+        # reshaped by the caller to (h, 2g, b, co) so the inverse column
+        # DFT is ONE einsum against the concatenated [ic_re; -ic_im]
+        # table (the separate-array epilogue cost a measured 2.2 ms
+        # layout copy + an extra 1.8 GB dot at the paper head).
         return pl.BlockSpec(
-            (h, 1, tb, cot), lambda ib, gg, o, f: (0, gg, ib, o),
+            (h, 2, 1, tb, cot), lambda ib, gg, o, f: (0, 0, gg, ib, o),
             memory_space=pltpu.VMEM,
         )
 
@@ -390,12 +395,12 @@ def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
         b * g * (8 * ph * ci * co)  # pointwise complex matmul
         + b * g * (8 * h * ph * co)  # complex inverse row DFT
     )
-    tr, ti = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_tail_kernel, precision=prec, nf=ph // fb),
         grid=grid,
         in_specs=[x_spec(), x_spec(), k_spec(), k_spec(), c_spec(), c_spec()],
-        out_specs=[t_spec(), t_spec()],
-        out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        out_specs=[t_spec()],
+        out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), xr.dtype)],
         scratch_shapes=[pltpu.VMEM((h, tb, cot), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -407,8 +412,7 @@ def _tail_call(xr, xi, kr, ki, irr_t, iri_t, *, h: int, tb: int, cot: int,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(xr, xi, kr, ki, irr_t, iri_t)
-    return tr, ti
+    )(xr, xi, kr, ki, irr_t, iri_t)[0]
 
 
 # Row-bin chunk for the in-kernel K_f build: divides every Ph the
@@ -463,7 +467,7 @@ def _tail_tiles_resident(
 
 def _tail_kdft_resident_kernel(
     xr_ref, xi_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
-    tr_ref, ti_ref, kfr, kfi, *, precision
+    t_ref, kfr, kfi, *, precision
 ):
     """Resident-K_f tail step: full-Ph pointwise + inverse row DFT in
     one shot (K=Ph contraction), K_f built into VMEM scratch at the
@@ -525,8 +529,8 @@ def _tail_kdft_resident_kernel(
     i2 = rim.reshape(ph, tb * cot).astype(xr.dtype)
     tre = mm(irr, r2) - mm(iri, i2)  # (H, TB*CoT) fp32
     tim = mm(irr, i2) + mm(iri, r2)
-    tr_ref[:, 0] = tre.reshape(h, tb, cot).astype(tr_ref.dtype)
-    ti_ref[:, 0] = tim.reshape(h, tb, cot).astype(ti_ref.dtype)
+    t_ref[:, 0, 0] = tre.reshape(h, tb, cot).astype(t_ref.dtype)
+    t_ref[:, 1, 0] = tim.reshape(h, tb, cot).astype(t_ref.dtype)
 
 
 def _tail_call_kdft_resident(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *,
@@ -542,7 +546,7 @@ def _tail_call_kdft_resident(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *,
         + b * g * (8 * h * ph * co)  # complex inverse row DFT
         + g * (co // cot) * (8 * ph * kh * ci * cot)  # K_f once per (g, o)
     )
-    tr, ti = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_tail_kdft_resident_kernel, precision=prec),
         grid=grid,
         in_specs=[
@@ -564,10 +568,11 @@ def _tail_call_kdft_resident(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((h, 1, tb, cot), lambda gg, o, ib: (0, gg, ib, o),
+            # Concatenated re/im output — see _tail_call.t_spec.
+            pl.BlockSpec((h, 2, 1, tb, cot), lambda gg, o, ib: (0, 0, gg, ib, o),
                          memory_space=pltpu.VMEM),
-        ] * 2,
-        out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), xr.dtype)],
         scratch_shapes=[pltpu.VMEM((ph, ci, cot), xr.dtype)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -579,8 +584,7 @@ def _tail_call_kdft_resident(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(xr, xi, ar, ai, grr, gri, irr_t, iri_t)
-    return tr, ti
+    )(xr, xi, ar, ai, grr, gri, irr_t, iri_t)[0]
 
 
 def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
@@ -615,8 +619,9 @@ def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
         )
 
     def t_spec():
+        # Concatenated re/im output — see _tail_call.t_spec.
         return pl.BlockSpec(
-            (h, 1, tb, cot), lambda ib, gg, o, f: (0, gg, ib, o),
+            (h, 2, 1, tb, cot), lambda ib, gg, o, f: (0, 0, gg, ib, o),
             memory_space=pltpu.VMEM,
         )
 
@@ -625,13 +630,13 @@ def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
         + b * g * (8 * h * ph * co)  # complex inverse row DFT
         + (b // tb) * g * ph * (8 * kh * ci * co)  # in-kernel K_f rows
     )
-    tr, ti = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_tail_kdft_kernel, precision=prec, nf=ph // fb),
         grid=grid,
         in_specs=[x_spec(), x_spec(), a_spec(), a_spec(), g_spec(), g_spec(),
                   c_spec(), c_spec()],
-        out_specs=[t_spec(), t_spec()],
-        out_shape=[jax.ShapeDtypeStruct((h, g, b, co), xr.dtype)] * 2,
+        out_specs=[t_spec()],
+        out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), xr.dtype)],
         scratch_shapes=[pltpu.VMEM((h, tb, cot), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -643,8 +648,7 @@ def _tail_call_kdft(xr, xi, ar, ai, grr, gri, irr_t, iri_t, *, h: int,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(xr, xi, ar, ai, grr, gri, irr_t, iri_t)
-    return tr, ti
+    )(xr, xi, ar, ai, grr, gri, irr_t, iri_t)[0]
 
 
 def _probe_cache_path() -> str:
@@ -849,6 +853,9 @@ def _fft_conv2d_impl(
 
     # Forward DFT of the input, bin-leading: rows then cols.
     xc = x.astype(dt)  # (b, y, x, i)
+    # (Stacking the fr tables into one dot was tried round 3 and LOST
+    # ~1 ms: XLA materializes the re/im slices of the stacked result as
+    # an 849 MB copy fusion.  Two dots re-reading the input is cheaper.)
     ar = em("fy,byxi->fbxi", t["fr_re"], xc)
     ai = em("fy,byxi->fbxi", t["fr_im"], xc)
     xr = em("gx,fbxi->gfbi", t["fc_re"], ar) - em("gx,fbxi->gfbi", t["fc_im"], ai)
@@ -882,11 +889,18 @@ def _fft_conv2d_impl(
         # Inverse row DFT (complex; SAME-crop folded into the operator).
         tr = em("yf,gfbo->ygbo", t["ir_re"], rr) - em("yf,gfbo->ygbo", t["ir_im"], ri)
         ti = em("yf,gfbo->ygbo", t["ir_re"], ri) + em("yf,gfbo->ygbo", t["ir_im"], rr)
+        tcat = jnp.concatenate([tr, ti], axis=1)  # (y, 2g, b, o)
     else:
-        tr, ti = tail
+        # Fused tails emit (y, 2, g, b, o) with re at [:, 0] / im at
+        # [:, 1]; the reshape to (y, 2g, b, o) is layout-free.
+        tcat = tail.reshape(tail.shape[0], -1, *tail.shape[3:])
     # Inverse column DFT keeping only the real part (the conjugate-pair
-    # weights live in the sliced ic tables).
-    out = em("xg,ygbo->xybo", t["ic_re"], tr) - em("xg,ygbo->xybo", t["ic_im"], ti)
+    # weights live in the sliced ic tables).  Re(T)·ic_re − Im(T)·ic_im
+    # as ONE dot against the concatenated [ic_re; −ic_im] table: the
+    # two-einsum + subtract form cost a measured 2.2 ms layout copy and
+    # an extra pass over T at the paper head (round-3 trace).
+    wcat = jnp.concatenate([t["ic_re"], -t["ic_im"]], axis=1)  # (x, 2g)
+    out = em("xG,yGbo->xybo", wcat, tcat)
     return out.transpose(2, 1, 0, 3)  # (b, y, x, o) in the compute dtype
 
 
