@@ -209,6 +209,9 @@ class MeshConfig:
 
     data: int = -1
     model: int = 1
+    # Spatial parallelism: also shard detector-trunk image ROWS over the
+    # 'model' axis (XLA SPMD halo exchanges; models/detector.py).
+    spatial: bool = False
 
 
 @dataclass(frozen=True)

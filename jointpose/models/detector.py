@@ -114,6 +114,11 @@ class Detector(nn.Module):
     config: DetectorConfig
     num_joints: int
     dtype: Any = jnp.float32
+    # Spatial parallelism: with a ('data', 'model') mesh here, the trunk
+    # runs with image rows sharded over 'model' (XLA SPMD inserts the
+    # conv/pool halo exchanges) and the rows are re-gathered before the
+    # head, whose wide conv prefers channel TP (parallel/mesh.py).
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -127,6 +132,22 @@ class Detector(nn.Module):
                 f"(heatmap stride {stride}{', multires' if cfg.multires else ''})"
             )
         x = (images.astype(self.dtype) - 0.5) * 2.0
+        if self.spatial_mesh is not None:
+            import jax
+
+            from jointpose.parallel.mesh import (
+                MODEL_AXIS, spatial_gather_sharding, spatial_image_sharding,
+            )
+
+            sp = self.spatial_mesh.shape[MODEL_AXIS]
+            if h % (need * sp):
+                raise ValueError(
+                    f"spatial sharding needs rows {h} divisible by "
+                    f"{need * sp} (stride alignment x {sp} shards)"
+                )
+            x = jax.lax.with_sharding_constraint(
+                x, spatial_image_sharding(self.spatial_mesh, x.shape[0])
+            )
 
         if cfg.share_trunk:
             trunk = Trunk(cfg, dtype=self.dtype, name="trunk")
@@ -142,6 +163,16 @@ class Detector(nn.Module):
             # Half-res features live at 2x the stride; upsample and fuse
             # by summation before the shared head (SURVEY C6).
             full = full + _upsample2x(half)
+
+        if self.spatial_mesh is not None:
+            # Row-gather the fused trunk features (an all-gather over
+            # 'model'): the head's wide conv is channel-TP territory and
+            # the MRF's Fourier pass contracts full columns.  At heatmap
+            # stride the gathered tensor is 1/stride^2 of the image, so
+            # the collective rides ICI on a small map.
+            full = jax.lax.with_sharding_constraint(
+                full, spatial_gather_sharding(self.spatial_mesh, full.shape[0])
+            )
 
         # The wide "FC-equivalent" head conv dominates paper-preset FLOPs
         # (9x9x512 at 60x90 = 57.3 GFLOP/img direct); the Fourier-matmul

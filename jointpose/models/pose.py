@@ -27,6 +27,11 @@ class PoseModel(nn.Module):
     mrf_message_pass: Callable[..., jnp.ndarray] | None = None
     # Device mesh for model-axis TP of the MRF (see SpatialModel.mesh).
     mesh: Any = None
+    # With ``spatial=True`` (and a mesh), the detector trunk also runs
+    # spatially sharded — image rows split over 'model', XLA-inserted
+    # halo exchanges — and re-gathers rows before the head
+    # (parallel/mesh.py spatial_image_sharding).
+    spatial: bool = False
 
     @nn.compact
     def __call__(
@@ -48,7 +53,11 @@ class PoseModel(nn.Module):
         if images.dtype == jnp.uint8:
             images = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
         logits = Detector(
-            cfg.detector, cfg.num_joints, dtype=dtype, name="detector"
+            cfg.detector,
+            cfg.num_joints,
+            dtype=dtype,
+            spatial_mesh=self.mesh if self.spatial else None,
+            name="detector",
         )(images)
         if freeze_detector:
             import jax

@@ -61,6 +61,37 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _batch_axis(mesh: Mesh, batch: int):
+    """DATA_AXIS if the trace-time batch can shard over it, else None.
+
+    Model init traces with batch 1; constraining dim 0 to 'data' there
+    would demand divisibility the array cannot satisfy, so small batches
+    stay replicated on the batch dim (rows still shard over 'model').
+    """
+    return DATA_AXIS if batch % mesh.shape[DATA_AXIS] == 0 else None
+
+
+def spatial_image_sharding(mesh: Mesh, batch: int) -> NamedSharding:
+    """(B, H, W, C) sharding with image ROWS split over the 'model' axis.
+
+    Spatial parallelism (SP) for the detector trunk: annotating the
+    trunk activations with this spec makes XLA's SPMD partitioner run
+    every trunk conv on an H-shard per device and insert the halo
+    exchanges (edge-row ppermutes over ICI) that SAME-padded convs and
+    2x2 pools need at shard boundaries — the scaling-book recipe, no
+    hand-written collectives.  The full-resolution trunk maps are the
+    paper topology's dominant HBM term, so SP divides that traffic (and
+    the trunk activation footprint) by the 'model' axis size where
+    channel TP cannot (the trunk is only 3-128 channels wide).
+    """
+    return NamedSharding(mesh, P(_batch_axis(mesh, batch), MODEL_AXIS))
+
+
+def spatial_gather_sharding(mesh: Mesh, batch: int) -> NamedSharding:
+    """Row-gathered (batch-only) sharding matching `spatial_image_sharding`."""
+    return NamedSharding(mesh, P(_batch_axis(mesh, batch)))
+
+
 def _path_keys(path: tuple) -> list:
     return [getattr(p, "key", getattr(p, "name", None)) for p in path]
 

@@ -30,15 +30,23 @@ from jointpose.models.pose import PoseModel
 from jointpose.ops.heatmaps import decode_probs, model_probs
 
 
-def build_predictor(config: Config, params, mesh=None):
+def build_predictor(config: Config, params, mesh=None, spatial: bool = False):
     """Return a jitted fn: images (B,H,W,3) -> (coords (B,K,2), probs).
 
     With ``mesh`` (a ('data','model') `jax.sharding.Mesh`), inference is
     data-parallel: the batch shards over the mesh 'data' axis and XLA
     partitions the whole forward SPMD — same program, N chips.  The
-    data-axis size must divide the batch size.
+    data-axis size must divide the batch size.  ``spatial=True`` (with a
+    model axis > 1) additionally runs the detector trunk with image rows
+    sharded over 'model' — XLA-inserted halo exchanges — and engages the
+    MRF's source-joint TP, so a single image's latency also scales.
     """
-    model = PoseModel(config)
+    use_model_axis = mesh is not None and mesh.shape["model"] > 1
+    model = PoseModel(
+        config,
+        mesh=mesh if use_model_axis else None,
+        spatial=spatial and use_model_axis,
+    )
     stride = config.data.heatmap_stride
     if mesh is not None:
         from jointpose.parallel.mesh import batch_sharding, shard_params
@@ -119,6 +127,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel inference over this many devices "
                              "(0 = single device; must divide the batch size)")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="model-axis size: spatial-shard the detector "
+                             "trunk (rows over 'model', XLA halo exchanges) "
+                             "and source-joint-shard the MRF pass; composes "
+                             "with --mesh-data on a 2-D mesh")
     parser.add_argument("--mrf-precision", choices=["high", "default"],
                         default="default",
                         help="MRF message-pass matmul precision; inference "
@@ -134,17 +147,20 @@ def main(argv: list[str] | None = None) -> None:
     config = with_mrf_precision(config, args.mrf_precision)
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     mesh = None
-    if args.mesh_data > 1:
+    if args.mesh_data > 1 or args.mesh_model > 1:
         from jointpose.configs import MeshConfig
         from jointpose.parallel.mesh import make_mesh
 
-        if args.batch_size % args.mesh_data:
+        data_axis = max(args.mesh_data, 1)
+        if args.batch_size % data_axis:
             raise SystemExit(
                 f"--mesh-data {args.mesh_data} must divide --batch-size "
                 f"{args.batch_size}"
             )
-        mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
-    predict = build_predictor(config, params, mesh=mesh)
+        mesh = make_mesh(MeshConfig(data=data_axis, model=args.mesh_model))
+    predict = build_predictor(
+        config, params, mesh=mesh, spatial=args.mesh_model > 1
+    )
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
 

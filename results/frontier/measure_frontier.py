@@ -20,7 +20,10 @@ from bench import build_inference_fn
 from jointpose.configs import get_config, with_mrf_precision
 from jointpose.perf import compiled_cost, roofline_images_per_sec
 
-POINTS = ["single_scale", "multires", "mrf", "joint", "eval_tta", "flagship", "flagship_slim"]
+POINTS = [
+    "single_scale", "multires", "mrf", "joint", "joint+stride",
+    "eval_tta", "eval_tta+stride", "flagship", "flagship_slim",
+]
 
 
 def build_tta_inference_fn(config):
@@ -49,7 +52,14 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     from jointpose.devtime import measure_device_time
     from jointpose.perf import PEAK_BF16_FLOPS, aot_compile
 
-    config = get_config(name)
+    # "<preset>+stride" rows measure the param-shape-compatible
+    # stride-conv trunk (BASELINE.md footnote 5) on the same preset.
+    base, _, variant = name.partition("+")
+    config = get_config(base)
+    if variant == "stride":
+        from jointpose.configs import with_pool_mode
+
+        config = with_pool_mode(config, "stride")
     # Frontier rows describe the PRODUCTION inference program, which
     # (round 3) runs the MRF message pass at single-pass bf16 — the
     # predict/serve default, PDJ-parity gated in

@@ -48,7 +48,7 @@ def main():
             if b % tb:
                 continue
             ok = fc._tail_compile_ok(
-                g, ph, b, ci, co, h, str(dt), tb, cot, ph, prec,
+                g, ph, b, ci, co, h, jnp.dtype(dt).name, tb, cot, ph, prec,
                 kdft_kh=kh, resident=True,
             )
             if not ok:

@@ -30,8 +30,11 @@ pytestmark = pytest.mark.skipif(
 
 
 def _fresh(cfg, mesh=None):
+    use_model = mesh is not None and mesh.shape["model"] > 1
     model = PoseModel(
-        cfg, mesh=mesh if mesh is not None and mesh.shape["model"] > 1 else None
+        cfg,
+        mesh=mesh if use_model else None,
+        spatial=cfg.mesh.spatial and use_model,
     )
     state = create_state(cfg, model, jax.random.PRNGKey(0))
     train_ds, _ = make_dataset(cfg.data)
@@ -189,6 +192,65 @@ def test_head_conv_params_actually_sharded(tiny_noaug):
     assert shardings["detector"]["trunk"]["conv0"]["kernel"].spec == (
         jax.sharding.PartitionSpec()
     )
+
+
+def test_spatial_sharded_step_matches_single_device(tiny_noaug):
+    # SP train step: image rows sharded over 'model' through the trunk
+    # (XLA halo exchanges), gathered before the head; must reproduce the
+    # unsharded step.
+    _, batch_np = _fresh(tiny_noaug)
+    loss_1, params_1 = _run_step(tiny_noaug, MeshConfig(data=1, model=1), batch_np)
+    loss_sp, params_sp = _run_step(
+        tiny_noaug, MeshConfig(data=4, model=2, spatial=True), batch_np
+    )
+    np.testing.assert_allclose(loss_1, loss_sp, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_sp)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_model", [2])
+def test_spatial_forward_matches_and_inserts_collectives(tiny_noaug, n_model):
+    # Forward parity of the spatially-sharded detector + proof the
+    # partitioner actually sharded rows: the compiled SPMD module must
+    # contain a gather/permute collective (the halo exchange and/or the
+    # pre-head row gather), which the unsharded program has none of.
+    config = tiny_noaug
+    rng = jax.random.PRNGKey(1)
+    images = jax.random.uniform(rng, (8, *config.data.image_hw, 3), jnp.float32)
+    base = PoseModel(config)
+    params = base.init(rng, images[:1])
+    ref = jax.jit(base.apply)(params, images)
+
+    mesh = make_mesh(MeshConfig(data=8 // n_model, model=n_model))
+    sp_model = PoseModel(config, mesh=mesh, spatial=True)
+    fn = jax.jit(sp_model.apply)
+    compiled = fn.lower(params, images).compile()
+    hlo = compiled.as_text()
+    assert any(op in hlo for op in ("all-gather", "collective-permute")), (
+        "spatial sharding compiled to no collectives - constraint ignored?"
+    )
+    out = compiled(params, images)
+    np.testing.assert_allclose(
+        np.asarray(ref["detector_logits"]),
+        np.asarray(out["detector_logits"]),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["mrf_log_heatmaps"]),
+        np.asarray(out["mrf_log_heatmaps"]),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_spatial_rejects_unaligned_rows(tiny_noaug):
+    # 48 rows at stride-8 alignment shard over 2 but not over 4 devices
+    # once multires doubles the alignment: 48 % (8*4) != 0.
+    config = tiny_noaug
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    model = PoseModel(config, mesh=mesh, spatial=True)
+    images = jnp.zeros((2, *config.data.image_hw, 3), jnp.float32)
+    with pytest.raises(ValueError, match="spatial sharding"):
+        model.init(jax.random.PRNGKey(0), images)
 
 
 def test_dp_inference_matches_single_device(tiny_noaug):
