@@ -127,13 +127,27 @@ def evaluate(
     thresholds=DEFAULT_THRESHOLDS,
     max_batches: int | None = None,
     eval_step: Callable | None = None,
+    mesh=None,
 ) -> dict:
     """Full-split evaluation; returns PDJ curves and headline numbers.
 
     Pass a prebuilt ``eval_step`` (from :func:`make_eval_step`) when
     calling repeatedly — each ``make_eval_step`` closure is a fresh jit
     cache entry, so rebuilding per call recompiles the forward pass.
+
+    With ``mesh`` (a ('data','model') `jax.sharding.Mesh`), each eval
+    batch is placed sharded over the mesh 'data' axis and XLA partitions
+    the whole forward+counts SPMD (the (T, K) count outputs are
+    unsharded, so the batch reduction compiles to an ICI all-reduce) —
+    same program, N chips.  The data-axis size must divide the eval
+    batch size.  Model-axis TP/SP engage through the ``apply_fn``'s own
+    model (build it with ``PoseModel(config, mesh=..., spatial=...)``).
     """
+    if mesh is not None and config.train.batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"eval batch size {config.train.batch_size} must be divisible "
+            f"by the mesh data axis ({mesh.shape['data']})"
+        )
     if eval_step is not None and hasattr(eval_step, "thresholds"):
         assert eval_step.thresholds == tuple(float(t) for t in thresholds), (
             "prebuilt eval_step was built with different thresholds than "
@@ -160,6 +174,10 @@ def evaluate(
             got = dict(got)
             got["visible"] = got["visible"] * jnp.asarray(mask)[:, None]
         examples_seen += real
+        if mesh is not None:
+            from jointpose.parallel.mesh import shard_batch
+
+            got = shard_batch(dict(got), mesh)
         d, v, t = eval_step(params, got)
         detected += np.asarray(d)
         visible += np.asarray(v)
@@ -215,6 +233,13 @@ def main(argv: list[str] | None = None) -> None:
                              "(measured round 3: 'default' is 3.7x faster on "
                              "chip at 0.4% max rel output err; this flag is "
                              "the PDJ-parity gate for flipping inference)")
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="data-parallel evaluation over this many devices "
+                             "(0 = single device; must divide the batch size)")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="model-axis size: spatial-shard the detector "
+                             "trunk and source-joint-shard the MRF pass; "
+                             "composes with --mesh-data on a 2-D mesh")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -243,8 +268,24 @@ def main(argv: list[str] | None = None) -> None:
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
-    model = PoseModel(config)
-    ev = evaluate(params, ds, config, model.apply, max_batches=args.max_batches)
+    mesh = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from jointpose.configs import MeshConfig
+        from jointpose.parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(
+            MeshConfig(data=max(args.mesh_data, 1), model=args.mesh_model)
+        )
+        params = shard_params(params, mesh)
+    use_model_axis = mesh is not None and mesh.shape["model"] > 1
+    model = PoseModel(
+        config,
+        mesh=mesh if use_model_axis else None,
+        spatial=use_model_axis,
+    )
+    ev = evaluate(
+        params, ds, config, model.apply, max_batches=args.max_batches, mesh=mesh
+    )
 
     print(f"checkpoint step {step}, {args.split} split, "
           f"{int(ev['num_examples'])} examples")

@@ -285,7 +285,14 @@ def fit(
     train_ds, test_ds = make_dataset(config.data)
     # Model-axis TP (MRF source-joint sharding) engages only on real
     # multi-device model meshes; params are identical either way.
-    model = PoseModel(config, mesh=mesh if mesh.shape["model"] > 1 else None)
+    # MeshConfig.spatial additionally row-shards the detector trunk over
+    # 'model' (XLA halo exchanges; parallel/mesh.py spatial_image_sharding).
+    use_model_axis = mesh.shape["model"] > 1
+    model = PoseModel(
+        config,
+        mesh=mesh if use_model_axis else None,
+        spatial=config.mesh.spatial and use_model_axis,
+    )
     state = create_state(config, model, jax.random.PRNGKey(config.train.seed))
     with mesh:
         state = state.replace(params=shard_params(state.params, mesh))
@@ -595,6 +602,16 @@ def main(argv: list[str] | None = None) -> None:
                              "<workdir>/profile")
     parser.add_argument("--check-numerics", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaN/Inf)")
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="mesh data-parallel axis size (-1 = all "
+                             "devices / model axis)")
+    parser.add_argument("--mesh-model", type=int, default=None,
+                        help="mesh model axis size: channel TP on the "
+                             "detector head + MRF source-joint TP")
+    parser.add_argument("--mesh-spatial", action="store_true",
+                        help="with --mesh-model > 1, also shard detector-"
+                             "trunk image rows over 'model' (XLA halo "
+                             "exchanges)")
     args = parser.parse_args(argv)
 
     # Multi-host wiring (no-op on a single host) must precede device use.
@@ -635,6 +652,15 @@ def main(argv: list[str] | None = None) -> None:
     if args.source is not None:
         config = config.replace(
             data=dataclasses.replace(config.data, source=args.source)
+        )
+    if args.mesh_data is not None or args.mesh_model is not None or args.mesh_spatial:
+        mm: dict[str, Any] = {"spatial": args.mesh_spatial}
+        if args.mesh_data is not None:
+            mm["data"] = args.mesh_data
+        if args.mesh_model is not None:
+            mm["model"] = args.mesh_model
+        config = config.replace(
+            mesh=dataclasses.replace(config.mesh, **mm)
         )
 
     result = fit(config, args.workdir, eval_max_batches=args.eval_max_batches,

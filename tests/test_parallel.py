@@ -253,6 +253,33 @@ def test_spatial_rejects_unaligned_rows(tiny_noaug):
         model.init(jax.random.PRNGKey(0), images)
 
 
+def test_dp_eval_matches_single_device(tiny_noaug):
+    # evaluate(mesh=...) shards every eval batch over 'data'; the PDJ
+    # curves and counts must match the unsharded evaluation exactly
+    # (the (T, K) count outputs are unsharded, so XLA compiles the
+    # batch reduction to an all-reduce).
+    from jointpose.evaluate import evaluate
+    from jointpose.data.pipeline import make_dataset
+
+    config = tiny_noaug
+    model = PoseModel(config)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((1, *config.data.image_hw, 3), jnp.float32)
+    params = model.init(rng, images)
+    _, test_ds = make_dataset(config.data)
+
+    ref = evaluate(params, test_ds, config, model.apply, max_batches=2)
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    got = evaluate(
+        params, test_ds, config, model.apply, max_batches=2, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["pdj_curves"]), np.asarray(got["pdj_curves"]), atol=1e-6
+    )
+    assert ref["num_examples"] == got["num_examples"]
+    assert ref["num_torso_excluded"] == got["num_torso_excluded"]
+
+
 def test_dp_inference_matches_single_device(tiny_noaug):
     # build_predictor(mesh=...) shards the batch over 'data' and lets
     # XLA partition the forward SPMD; coords must match the unsharded
