@@ -37,13 +37,18 @@ class PoseService:
     """Holds the compiled predictor and the fixed serving batch shape."""
 
     def __init__(self, config: Config, checkpoint_dir: str, batch_size: int,
-                 step: int | None = None, best: bool = True):
+                 step: int | None = None, best: bool = True, mesh=None):
         from jointpose.predict import build_predictor, restore_params
 
         self.config = config
         self.batch_size = batch_size
         params, self.step = restore_params(config, checkpoint_dir, step, best=best)
-        self._predict = build_predictor(config, params)
+        # Same mesh surface as predict/evaluate: batch shards over the
+        # 'data' axis (DP), the detector trunk over 'model' rows (SP).
+        self._predict = build_predictor(
+            config, params, mesh=mesh,
+            spatial=mesh is not None and mesh.shape["model"] > 1,
+        )
         # ThreadingHTTPServer runs one thread per request; the device is
         # one serialized queue anyway, so serialize predict explicitly
         # rather than relying on JAX's internal locking being
@@ -149,6 +154,12 @@ def main(argv: list[str] | None = None) -> None:
                         help="MRF message-pass matmul precision; serving "
                              "defaults to 'default' (measured 3.7x faster, "
                              "PDJ-parity gated; BASELINE.md round 3)")
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="data-parallel devices: shard each serving "
+                             "batch over this many chips (0/1 = off)")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="spatial-parallel devices: shard the detector "
+                             "trunk rows over this many chips")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
@@ -156,8 +167,20 @@ def main(argv: list[str] | None = None) -> None:
 
     config = reconcile_config(get_config(args.config), args.checkpoint, args.pool_mode)
     config = with_mrf_precision(config, args.mrf_precision)
+    mesh = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from jointpose.configs import MeshConfig
+        from jointpose.parallel.mesh import make_mesh
+
+        data_axis = max(args.mesh_data, 1)
+        if args.batch_size % data_axis:
+            parser.error(
+                f"--mesh-data {args.mesh_data} must divide --batch-size "
+                f"{args.batch_size}"
+            )
+        mesh = make_mesh(MeshConfig(data=data_axis, model=args.mesh_model))
     service = PoseService(
-        config, args.checkpoint, args.batch_size, step=args.step
+        config, args.checkpoint, args.batch_size, step=args.step, mesh=mesh
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")

@@ -16,7 +16,7 @@ from jointpose.serve import PoseService, make_handler
 
 
 @pytest.fixture(scope="module")
-def live_server(tmp_path_factory):
+def tiny_checkpoint(tmp_path_factory):
     # Train nothing: save an initialized state as the "checkpoint".
     cfg = get_config("tiny").replace(
         train=dataclasses.replace(get_config("tiny").train, batch_size=2)
@@ -30,7 +30,12 @@ def live_server(tmp_path_factory):
     ckpt = Checkpointer(ckpt_dir, keep=1)
     ckpt.save(0, state)
     ckpt.close()
+    return cfg, ckpt_dir
 
+
+@pytest.fixture(scope="module")
+def live_server(tiny_checkpoint):
+    cfg, ckpt_dir = tiny_checkpoint
     service = PoseService(cfg, ckpt_dir, batch_size=2, best=False)
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
     port = server.server_address[1]
@@ -148,3 +153,27 @@ def test_predict_concurrent(live_server):
         status, body = res
         assert status == 200, body
         assert body["predictions"] == want[i]
+
+
+def test_serve_dp_mesh(live_server, tiny_checkpoint):
+    # --mesh-data serving: a PoseService built over a 2-device DP mesh
+    # must agree with the single-device service on the same checkpoint.
+    cfg, ckpt_dir = tiny_checkpoint
+    from jointpose.configs import MeshConfig
+    from jointpose.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=1))
+    dp = PoseService(cfg, ckpt_dir, batch_size=2, best=False, mesh=mesh)
+
+    h, w = cfg.data.image_hw
+    imgs = np.random.RandomState(7).rand(2, h, w, 3).astype(np.float32)
+    got = dp.predict(imgs)
+
+    _, port = live_server
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    status, body = _post(port, "/predict", buf.getvalue(), ctype="application/x-npy")
+    assert status == 200
+    for a, b in zip(got, body["predictions"]):
+        for name in a["joints"]:
+            assert a["joints"][name] == pytest.approx(b["joints"][name], abs=1e-3)
