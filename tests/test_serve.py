@@ -155,6 +155,77 @@ def test_predict_concurrent(live_server):
         assert body["predictions"] == want[i]
 
 
+def test_micro_batcher_coalesces(tiny_checkpoint):
+    # Concurrent 1-image requests must pack into shared device batches:
+    # with batch_size=2 and a generous coalesce window, 8 single-image
+    # requests take ≤ 5 dispatches (4 perfectly packed + slack for the
+    # straggler), and every result equals its serial counterpart.
+    cfg, ckpt_dir = tiny_checkpoint
+    service = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                          batch_wait_ms=500.0)
+    try:
+        h, w = cfg.data.image_hw
+        imgs = np.random.RandomState(11).rand(8, 1, h, w, 3).astype(np.float32)
+        want = [service.predict(imgs[i]) for i in range(8)]
+        base = service.stats["dispatches"]
+
+        results = [None] * 8
+
+        def worker(i):
+            results[i] = service.predict(imgs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        used = service.stats["dispatches"] - base
+        assert used <= 5, f"8 one-image requests used {used} dispatches"
+        assert service.stats["coalesced_batches"] >= 1
+        for i in range(8):
+            for name in want[i][0]["joints"]:
+                assert results[i][0]["joints"][name] == pytest.approx(
+                    want[i][0]["joints"][name], abs=1e-3
+                )
+    finally:
+        service.close()
+
+
+def test_micro_batcher_splits_large_and_mixed_dtype(tiny_checkpoint):
+    # A request larger than the compiled batch splits into chunks that
+    # pipeline through the dispatcher; uint8 and float32 chunks never
+    # share a device batch but both complete.
+    cfg, ckpt_dir = tiny_checkpoint
+    service = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                          batch_wait_ms=0.0)
+    try:
+        h, w = cfg.data.image_hw
+        rs = np.random.RandomState(12)
+        big = rs.rand(5, h, w, 3).astype(np.float32)  # 3 chunks: 2+2+1
+        u8 = rs.randint(0, 256, (1, h, w, 3), dtype=np.uint8)
+        out = [None, None]
+
+        def worker(i, arr):
+            out[i] = service.predict(arr)
+
+        threads = [threading.Thread(target=worker, args=(0, big)),
+                   threading.Thread(target=worker, args=(1, u8))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(out[0]) == 5 and len(out[1]) == 1
+        # Parity with single-shot predictions.
+        want = service.predict(big[:1])
+        for name in want[0]["joints"]:
+            assert out[0][0]["joints"][name] == pytest.approx(
+                want[0]["joints"][name], abs=1e-3
+            )
+    finally:
+        service.close()
+
+
 def test_serve_dp_mesh(live_server, tiny_checkpoint):
     # --mesh-data serving: a PoseService built over a 2-device DP mesh
     # must agree with the single-device service on the same checkpoint.
