@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> None:
                              "defaults to 'default' (single-pass bf16 — "
                              "measured 3.7x faster, PDJ-parity gated; "
                              "BASELINE.md round 3)")
+    parser.add_argument("--pipeline", type=int, default=0, metavar="N_MICRO",
+                        help="pipeline-parallel inference: split the devices "
+                             "into a detector stage and an MRF+decode stage "
+                             "and stream N_MICRO microbatches per batch "
+                             "(needs >= 2 devices; exclusive with --mesh-*)")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
@@ -158,9 +163,21 @@ def main(argv: list[str] | None = None) -> None:
                 f"{args.batch_size}"
             )
         mesh = make_mesh(MeshConfig(data=data_axis, model=args.mesh_model))
-    predict = build_predictor(
-        config, params, mesh=mesh, spatial=args.mesh_model > 1
-    )
+    if args.pipeline > 0:
+        if mesh is not None:
+            raise SystemExit("--pipeline is exclusive with --mesh-data/--mesh-model")
+        if args.batch_size % args.pipeline:
+            raise SystemExit(
+                f"--pipeline {args.pipeline} must divide --batch-size "
+                f"{args.batch_size}"
+            )
+        from jointpose.parallel.pipeline import build_pipelined_predictor
+
+        predict = build_pipelined_predictor(config, params, n_micro=args.pipeline)
+    else:
+        predict = build_predictor(
+            config, params, mesh=mesh, spatial=args.mesh_model > 1
+        )
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
 
