@@ -240,6 +240,11 @@ def main(argv: list[str] | None = None) -> None:
                         help="model-axis size: spatial-shard the detector "
                              "trunk and source-joint-shard the MRF pass; "
                              "composes with --mesh-data on a 2-D mesh")
+    parser.add_argument("--quantize", type=int, default=0, metavar="N_CALIB",
+                        help="evaluate the int8-quantized detector (PTQ, "
+                             "ops/quant.py), calibrating activation scales "
+                             "on N_CALIB training images (exclusive with "
+                             "--mesh-*)")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -278,13 +283,25 @@ def main(argv: list[str] | None = None) -> None:
         )
         params = shard_params(params, mesh)
     use_model_axis = mesh is not None and mesh.shape["model"] > 1
-    model = PoseModel(
-        config,
-        mesh=mesh if use_model_axis else None,
-        spatial=use_model_axis,
-    )
+    if args.quantize > 0:
+        if mesh is not None:
+            raise SystemExit("--quantize is exclusive with --mesh-data/--mesh-model")
+        from jointpose.ops.quant import make_quantized_apply_fn
+
+        calib = train_ds.get_batch(
+            jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
+        )["image"]
+        apply_fn = make_quantized_apply_fn(config, params, calib)
+        print(f"int8 detector (calibrated on {calib.shape[0]} train images)")
+    else:
+        model = PoseModel(
+            config,
+            mesh=mesh if use_model_axis else None,
+            spatial=use_model_axis,
+        )
+        apply_fn = model.apply
     ev = evaluate(
-        params, ds, config, model.apply, max_batches=args.max_batches, mesh=mesh
+        params, ds, config, apply_fn, max_batches=args.max_batches, mesh=mesh
     )
 
     print(f"checkpoint step {step}, {args.split} split, "

@@ -19,6 +19,37 @@ from jointpose.models.mrf import SpatialModel
 from jointpose.ops.heatmaps import spatial_softmax
 
 
+def make_logits_tail_fn(config: Config, params) -> Callable[[jnp.ndarray], dict]:
+    """Return fn(detector logits fp32) -> PoseModel-style output dict.
+
+    Shares the exact unaries/normalization semantics of
+    ``PoseModel.__call__`` for callers that produce detector logits out
+    of band (the pipeline-parallel stage split, the int8-quantized
+    detector) and need the identical MRF tail: the returned dict
+    composes with ``ops.heatmaps.model_probs`` / ``model_scores`` and
+    with ``evaluate.make_eval_step`` apply_fns.  ``params`` is the full
+    PoseModel param dict; with ``config.mrf`` unset the dict carries
+    only the logits.
+    """
+    cfg = config
+    if cfg.mrf is None:
+        return lambda logits: {"detector_logits": logits}
+    mrf = SpatialModel(cfg.mrf, cfg.num_joints, dtype=jnp.dtype(cfg.compute_dtype))
+    mrf_params = {"params": params["params"]["spatial_model"]}
+
+    def tail(logits: jnp.ndarray) -> dict:
+        if cfg.mrf.normalize_input:
+            unaries = spatial_softmax(logits)
+        else:
+            unaries = jnp.maximum(logits, 0.0)
+        return {
+            "detector_logits": logits,
+            "mrf_log_heatmaps": mrf.apply(mrf_params, unaries),
+        }
+
+    return tail
+
+
 class PoseModel(nn.Module):
     config: Config
     # Optional overrides threaded to the SpatialModel (prior init, Pallas

@@ -34,8 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jointpose.configs import Config
 from jointpose.models.detector import Detector
-from jointpose.models.mrf import SpatialModel
-from jointpose.ops.heatmaps import decode_probs, spatial_softmax
+from jointpose.models.pose import make_logits_tail_fn
+from jointpose.ops.heatmaps import decode_probs, model_probs
 
 
 def _stage_mesh(devices) -> Mesh:
@@ -72,20 +72,20 @@ def build_pipelined_predictor(
     tta = cfg.eval_flip_tta
 
     det = Detector(cfg.detector, cfg.num_joints, dtype=dtype)
-    det_params = {"params": params["params"]["detector"]}
-    mrf = (
-        SpatialModel(cfg.mrf, cfg.num_joints, dtype=dtype)
-        if cfg.mrf is not None
-        else None
-    )
-    mrf_params = (
-        {"params": params["params"]["spatial_model"]} if mrf is not None else None
-    )
     # Params replicate within each stage group; activations shard on the
     # batch axis (PP x DP).
-    det_params = jax.device_put(det_params, NamedSharding(mesh0, P()))
-    if mrf_params is not None:
-        mrf_params = jax.device_put(mrf_params, NamedSharding(mesh1, P()))
+    det_params = jax.device_put(
+        {"params": params["params"]["detector"]}, NamedSharding(mesh0, P())
+    )
+    stage1_params = (
+        jax.device_put(params, NamedSharding(mesh1, P()))
+        if cfg.mrf is not None
+        else params
+    )
+    tail = make_logits_tail_fn(cfg, stage1_params)
+
+    def _probs(logits):
+        return model_probs(tail(logits))
 
     @jax.jit
     def stage0(images):
@@ -100,15 +100,6 @@ def build_pipelined_predictor(
             flipped = det.apply(det_params, flip_images(images))
             return jnp.stack([logits, flipped])
         return logits
-
-    def _probs(logits):
-        if mrf is None:
-            return spatial_softmax(logits)
-        if cfg.mrf.normalize_input:
-            unaries = spatial_softmax(logits)
-        else:
-            unaries = jnp.maximum(logits, 0.0)
-        return spatial_softmax(mrf.apply(mrf_params, unaries))
 
     @jax.jit
     def stage1(logits):

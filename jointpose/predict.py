@@ -143,6 +143,10 @@ def main(argv: list[str] | None = None) -> None:
                              "into a detector stage and an MRF+decode stage "
                              "and stream N_MICRO microbatches per batch "
                              "(needs >= 2 devices; exclusive with --mesh-*)")
+    parser.add_argument("--quantize", type=int, default=0, metavar="N_CALIB",
+                        help="run the int8-quantized detector (PTQ, "
+                             "ops/quant.py), calibrating on N_CALIB training "
+                             "images (exclusive with --mesh-*/--pipeline)")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
@@ -163,9 +167,11 @@ def main(argv: list[str] | None = None) -> None:
                 f"{args.batch_size}"
             )
         mesh = make_mesh(MeshConfig(data=data_axis, model=args.mesh_model))
+    train_ds, test_ds = make_dataset(config.data)
+    ds = train_ds if args.split == "train" else test_ds
     if args.pipeline > 0:
-        if mesh is not None:
-            raise SystemExit("--pipeline is exclusive with --mesh-data/--mesh-model")
+        if mesh is not None or args.quantize:
+            raise SystemExit("--pipeline is exclusive with --mesh-*/--quantize")
         if args.batch_size % args.pipeline:
             raise SystemExit(
                 f"--pipeline {args.pipeline} must divide --batch-size "
@@ -174,12 +180,20 @@ def main(argv: list[str] | None = None) -> None:
         from jointpose.parallel.pipeline import build_pipelined_predictor
 
         predict = build_pipelined_predictor(config, params, n_micro=args.pipeline)
+    elif args.quantize > 0:
+        if mesh is not None:
+            raise SystemExit("--quantize is exclusive with --mesh-data/--mesh-model")
+        from jointpose.ops.quant import build_quantized_predictor
+
+        calib = train_ds.get_batch(
+            jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
+        )["image"]
+        predict = build_quantized_predictor(config, params, calib)
+        print(f"int8 detector (calibrated on {calib.shape[0]} train images)")
     else:
         predict = build_predictor(
             config, params, mesh=mesh, spatial=args.mesh_model > 1
         )
-    train_ds, test_ds = make_dataset(config.data)
-    ds = train_ds if args.split == "train" else test_ds
 
     os.makedirs(args.workdir, exist_ok=True)
     out_path = os.path.join(args.workdir, "predictions.jsonl")

@@ -65,18 +65,30 @@ class PoseService:
 
     def __init__(self, config: Config, checkpoint_dir: str, batch_size: int,
                  step: int | None = None, best: bool = True, mesh=None,
-                 batch_wait_ms: float = 2.0):
+                 batch_wait_ms: float = 2.0, quantize_calib: int = 0):
         from jointpose.predict import build_predictor, restore_params
 
         self.config = config
         self.batch_size = batch_size
         params, self.step = restore_params(config, checkpoint_dir, step, best=best)
-        # Same mesh surface as predict/evaluate: batch shards over the
-        # 'data' axis (DP), the detector trunk over 'model' rows (SP).
-        self._predict = build_predictor(
-            config, params, mesh=mesh,
-            spatial=mesh is not None and mesh.shape["model"] > 1,
-        )
+        if quantize_calib > 0:
+            if mesh is not None:
+                raise ValueError("quantize_calib is exclusive with mesh serving")
+            from jointpose.data.pipeline import make_dataset
+            from jointpose.ops.quant import build_quantized_predictor
+
+            train_ds, _ = make_dataset(config.data)
+            calib = train_ds.get_batch(
+                jnp.arange(min(quantize_calib, train_ds.size), dtype=jnp.int32)
+            )["image"]
+            self._predict = build_quantized_predictor(config, params, calib)
+        else:
+            # Same mesh surface as predict/evaluate: batch shards over the
+            # 'data' axis (DP), the detector trunk over 'model' rows (SP).
+            self._predict = build_predictor(
+                config, params, mesh=mesh,
+                spatial=mesh is not None and mesh.shape["model"] > 1,
+            )
         # Warm BOTH accepted input dtypes at the serving shape — each is
         # its own jit cache entry, and 'no recompiles at serving time'
         # must hold for the first uint8 request too.
@@ -269,6 +281,10 @@ def main(argv: list[str] | None = None) -> None:
                         help="MRF message-pass matmul precision; serving "
                              "defaults to 'default' (measured 3.7x faster, "
                              "PDJ-parity gated; BASELINE.md round 3)")
+    parser.add_argument("--quantize", type=int, default=0, metavar="N_CALIB",
+                        help="serve the int8-quantized detector (PTQ, "
+                             "ops/quant.py), calibrating on N_CALIB training "
+                             "images (exclusive with --mesh-*)")
     parser.add_argument("--batch-wait-ms", type=float, default=2.0,
                         help="how long the dispatcher waits to coalesce "
                              "concurrent requests into one device batch "
@@ -300,7 +316,7 @@ def main(argv: list[str] | None = None) -> None:
         mesh = make_mesh(MeshConfig(data=data_axis, model=args.mesh_model))
     service = PoseService(
         config, args.checkpoint, args.batch_size, step=args.step, mesh=mesh,
-        batch_wait_ms=args.batch_wait_ms,
+        batch_wait_ms=args.batch_wait_ms, quantize_calib=args.quantize,
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")
