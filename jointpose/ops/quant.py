@@ -239,18 +239,47 @@ def quant_detector_logits(config: Config, qparams: dict,
     return qconv("head_out", requant(y, qparams["head_out"]["in_scale"]))
 
 
-def make_quantized_apply_fn(config: Config, params, calib_images):
-    """Quantize, then return apply_fn(_params, images) -> PoseModel-style
-    output dict (int8 detector + float MRF tail).
+def save_quantized(path: str, qparams: dict) -> None:
+    """Write a quantized-detector deployment artifact (npz; int8 weights
+    stay int8 on disk — the artifact is ~4x smaller than fp32 params)."""
+    import numpy as np
 
-    Drop-in for ``evaluate.make_eval_step`` / ``evaluate.evaluate``'s
-    apply_fn (the leading params argument is ignored — the quantized
-    weights are baked in), so the full PDJ harness runs unchanged on the
-    quantized model.
+    flat = {
+        f"{name}|{field}": np.asarray(arr)
+        for name, node in qparams.items()
+        for field, arr in node.items()
+    }
+    np.savez(path, **flat)
+
+
+def load_quantized(path: str) -> dict:
+    """Load a `save_quantized` artifact back into a qparams pytree."""
+    import numpy as np
+
+    q: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            name, field = key.rsplit("|", 1)
+            q.setdefault(name, {})[field] = jnp.asarray(z[key])
+    return q
+
+
+def make_quantized_apply_fn(config: Config, params, calib_images=None,
+                            qparams: dict | None = None):
+    """Return apply_fn(_params, images) -> PoseModel-style output dict
+    (int8 detector + float MRF tail).
+
+    Quantizes on ``calib_images`` unless a prebuilt/loaded ``qparams``
+    is given (the deploy-an-artifact path).  Drop-in for
+    ``evaluate.make_eval_step`` / ``evaluate.evaluate``'s apply_fn (the
+    leading params argument is ignored — the quantized weights are
+    baked in), so the full PDJ harness runs unchanged on the quantized
+    model.
     """
     from jointpose.models.pose import make_logits_tail_fn
 
-    qparams = quantize_detector(config, params, calib_images)
+    if qparams is None:
+        qparams = quantize_detector(config, params, calib_images)
     tail = make_logits_tail_fn(config, params)
 
     def apply_fn(_params, images):
@@ -259,13 +288,14 @@ def make_quantized_apply_fn(config: Config, params, calib_images):
     return apply_fn
 
 
-def build_quantized_predictor(config: Config, params, calib_images):
+def build_quantized_predictor(config: Config, params, calib_images=None,
+                              qparams: dict | None = None):
     """predict(images) -> (coords, probs) with the int8 detector and the
     float MRF + decode tail (exact same tail as build_predictor)."""
     from jointpose.evaluate import flip_images, unflip_heatmaps
     from jointpose.ops.heatmaps import decode_probs, model_probs
 
-    apply_fn = make_quantized_apply_fn(config, params, calib_images)
+    apply_fn = make_quantized_apply_fn(config, params, calib_images, qparams)
     stride = config.data.heatmap_stride
 
     def probs_fn(images):

@@ -147,6 +147,9 @@ def main(argv: list[str] | None = None) -> None:
                         help="run the int8-quantized detector (PTQ, "
                              "ops/quant.py), calibrating on N_CALIB training "
                              "images (exclusive with --mesh-*/--pipeline)")
+    parser.add_argument("--quantize-artifact", default=None, metavar="NPZ",
+                        help="load a prebuilt int8 artifact (python -m "
+                             "jointpose.quantize) instead of calibrating")
     args = parser.parse_args(argv)
 
     from jointpose.checkpoint import reconcile_config
@@ -170,8 +173,8 @@ def main(argv: list[str] | None = None) -> None:
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
     if args.pipeline > 0:
-        if mesh is not None or args.quantize:
-            raise SystemExit("--pipeline is exclusive with --mesh-*/--quantize")
+        if mesh is not None or args.quantize or args.quantize_artifact:
+            raise SystemExit("--pipeline is exclusive with --mesh-*/--quantize*")
         if args.batch_size % args.pipeline:
             raise SystemExit(
                 f"--pipeline {args.pipeline} must divide --batch-size "
@@ -180,16 +183,21 @@ def main(argv: list[str] | None = None) -> None:
         from jointpose.parallel.pipeline import build_pipelined_predictor
 
         predict = build_pipelined_predictor(config, params, n_micro=args.pipeline)
-    elif args.quantize > 0:
+    elif args.quantize > 0 or args.quantize_artifact:
         if mesh is not None:
             raise SystemExit("--quantize is exclusive with --mesh-data/--mesh-model")
-        from jointpose.ops.quant import build_quantized_predictor
+        from jointpose.ops.quant import build_quantized_predictor, load_quantized
 
-        calib = train_ds.get_batch(
-            jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
-        )["image"]
-        predict = build_quantized_predictor(config, params, calib)
-        print(f"int8 detector (calibrated on {calib.shape[0]} train images)")
+        if args.quantize_artifact:
+            qparams = load_quantized(args.quantize_artifact)
+            predict = build_quantized_predictor(config, params, qparams=qparams)
+            print(f"int8 detector (artifact {args.quantize_artifact})")
+        else:
+            calib = train_ds.get_batch(
+                jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
+            )["image"]
+            predict = build_quantized_predictor(config, params, calib)
+            print(f"int8 detector (calibrated on {calib.shape[0]} train images)")
     else:
         predict = build_predictor(
             config, params, mesh=mesh, spatial=args.mesh_model > 1

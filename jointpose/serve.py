@@ -65,23 +65,30 @@ class PoseService:
 
     def __init__(self, config: Config, checkpoint_dir: str, batch_size: int,
                  step: int | None = None, best: bool = True, mesh=None,
-                 batch_wait_ms: float = 2.0, quantize_calib: int = 0):
+                 batch_wait_ms: float = 2.0, quantize_calib: int = 0,
+                 quantize_artifact: str | None = None):
         from jointpose.predict import build_predictor, restore_params
 
         self.config = config
         self.batch_size = batch_size
         params, self.step = restore_params(config, checkpoint_dir, step, best=best)
-        if quantize_calib > 0:
+        if quantize_calib > 0 or quantize_artifact:
             if mesh is not None:
-                raise ValueError("quantize_calib is exclusive with mesh serving")
-            from jointpose.data.pipeline import make_dataset
-            from jointpose.ops.quant import build_quantized_predictor
+                raise ValueError("quantized serving is exclusive with mesh serving")
+            from jointpose.ops.quant import build_quantized_predictor, load_quantized
 
-            train_ds, _ = make_dataset(config.data)
-            calib = train_ds.get_batch(
-                jnp.arange(min(quantize_calib, train_ds.size), dtype=jnp.int32)
-            )["image"]
-            self._predict = build_quantized_predictor(config, params, calib)
+            if quantize_artifact:
+                self._predict = build_quantized_predictor(
+                    config, params, qparams=load_quantized(quantize_artifact)
+                )
+            else:
+                from jointpose.data.pipeline import make_dataset
+
+                train_ds, _ = make_dataset(config.data)
+                calib = train_ds.get_batch(
+                    jnp.arange(min(quantize_calib, train_ds.size), dtype=jnp.int32)
+                )["image"]
+                self._predict = build_quantized_predictor(config, params, calib)
         else:
             # Same mesh surface as predict/evaluate: batch shards over the
             # 'data' axis (DP), the detector trunk over 'model' rows (SP).
@@ -285,6 +292,9 @@ def main(argv: list[str] | None = None) -> None:
                         help="serve the int8-quantized detector (PTQ, "
                              "ops/quant.py), calibrating on N_CALIB training "
                              "images (exclusive with --mesh-*)")
+    parser.add_argument("--quantize-artifact", default=None, metavar="NPZ",
+                        help="load a prebuilt int8 artifact (python -m "
+                             "jointpose.quantize) instead of calibrating")
     parser.add_argument("--batch-wait-ms", type=float, default=2.0,
                         help="how long the dispatcher waits to coalesce "
                              "concurrent requests into one device batch "
@@ -317,6 +327,7 @@ def main(argv: list[str] | None = None) -> None:
     service = PoseService(
         config, args.checkpoint, args.batch_size, step=args.step, mesh=mesh,
         batch_wait_ms=args.batch_wait_ms, quantize_calib=args.quantize,
+        quantize_artifact=args.quantize_artifact,
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")

@@ -104,6 +104,44 @@ def test_quantized_predictor_end_to_end(setup):
     assert close.mean() >= 0.8, f"only {close.mean():.2f} joints within 1 cell"
 
 
+def test_artifact_roundtrip(setup, tmp_path):
+    # save_quantized -> load_quantized must reproduce logits exactly
+    # (int8 weights stay int8 on disk).
+    from jointpose.ops.quant import load_quantized, save_quantized
+
+    cfg, params, calib = setup
+    q = quantize_detector(cfg, params, calib)
+    path = str(tmp_path / "int8.npz")
+    save_quantized(path, q)
+    q2 = load_quantized(path)
+    assert q2["head_wide"]["w_q"].dtype == jnp.int8
+    imgs = calib[:2]
+    a = np.asarray(quant_detector_logits(cfg, q, imgs))
+    b = np.asarray(quant_detector_logits(cfg, q2, imgs))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_quantize_cli(tmp_path):
+    # Full offline flow: train-free checkpoint -> artifact -> predictor.
+    cfg = _direct_cfg()
+    from jointpose.checkpoint import Checkpointer
+    from jointpose.quantize import main as quantize_main
+    from jointpose.train import create_state
+
+    ckpt_dir = str(tmp_path / "ck")
+    state = create_state(cfg, PoseModel(cfg), jax.random.PRNGKey(0))
+    ckpt = Checkpointer(ckpt_dir, keep=1)
+    ckpt.save(0, state)
+    ckpt.close()
+    out = str(tmp_path / "int8.npz")
+    quantize_main(["--config", "tiny", "--checkpoint", ckpt_dir,
+                   "--calib", "4", "--out", out])
+    from jointpose.ops.quant import load_quantized
+
+    q = load_quantized(out)
+    assert "head_out" in q and q["head_out"]["w_q"].dtype == jnp.int8
+
+
 def test_quantized_predictor_non_multires():
     cfg = _direct_cfg()
     cfg = cfg.replace(detector=dataclasses.replace(cfg.detector, multires=False))
