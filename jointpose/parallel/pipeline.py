@@ -55,7 +55,8 @@ def split_stage_devices(devices=None) -> tuple[list, list]:
 
 
 def build_pipelined_predictor(
-    config: Config, params, devices=None, n_micro: int = 2
+    config: Config, params, devices=None, n_micro: int = 2,
+    qparams: dict | None = None,
 ):
     """Return predict(images) -> (coords, probs) running PP over two
     device groups, microbatched ``n_micro`` ways.
@@ -63,6 +64,9 @@ def build_pipelined_predictor(
     Semantics match `predict.build_predictor` (same decode, same flip
     TTA); only the execution schedule differs.  The batch must divide
     by ``n_micro``, and each microbatch by its stage's device count.
+
+    With ``qparams`` (from ``ops.quant.quantize_detector`` or a loaded
+    artifact) stage 0 runs the int8 detector — PP x DP x int8 compose.
     """
     g0, g1 = split_stage_devices(devices)
     mesh0, mesh1 = _stage_mesh(g0), _stage_mesh(g1)
@@ -74,9 +78,20 @@ def build_pipelined_predictor(
     det = Detector(cfg.detector, cfg.num_joints, dtype=dtype)
     # Params replicate within each stage group; activations shard on the
     # batch axis (PP x DP).
-    det_params = jax.device_put(
-        {"params": params["params"]["detector"]}, NamedSharding(mesh0, P())
-    )
+    if qparams is not None:
+        from jointpose.ops.quant import quant_detector_logits
+
+        qparams0 = jax.device_put(qparams, NamedSharding(mesh0, P()))
+
+        def det_logits(images):
+            return quant_detector_logits(cfg, qparams0, images)
+    else:
+        det_params = jax.device_put(
+            {"params": params["params"]["detector"]}, NamedSharding(mesh0, P())
+        )
+
+        def det_logits(images):
+            return det.apply(det_params, images)
     stage1_params = (
         jax.device_put(params, NamedSharding(mesh1, P()))
         if cfg.mrf is not None
@@ -91,13 +106,14 @@ def build_pipelined_predictor(
     def stage0(images):
         # uint8 production ingest normalizes in-graph, same as PoseModel
         # (models/pose.py) — keep the two paths numerically identical.
-        if images.dtype == jnp.uint8:
+        # (quant_detector_logits handles uint8 itself.)
+        if images.dtype == jnp.uint8 and qparams is None:
             images = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
-        logits = det.apply(det_params, images)
+        logits = det_logits(images)
         if tta:
             from jointpose.evaluate import flip_images
 
-            flipped = det.apply(det_params, flip_images(images))
+            flipped = det_logits(flip_images(images))
             return jnp.stack([logits, flipped])
         return logits
 

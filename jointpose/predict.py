@@ -173,8 +173,8 @@ def main(argv: list[str] | None = None) -> None:
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
     if args.pipeline > 0:
-        if mesh is not None or args.quantize or args.quantize_artifact:
-            raise SystemExit("--pipeline is exclusive with --mesh-*/--quantize*")
+        if mesh is not None:
+            raise SystemExit("--pipeline is exclusive with --mesh-data/--mesh-model")
         if args.batch_size % args.pipeline:
             raise SystemExit(
                 f"--pipeline {args.pipeline} must divide --batch-size "
@@ -182,7 +182,22 @@ def main(argv: list[str] | None = None) -> None:
             )
         from jointpose.parallel.pipeline import build_pipelined_predictor
 
-        predict = build_pipelined_predictor(config, params, n_micro=args.pipeline)
+        # --quantize/--quantize-artifact compose: int8 detector in stage 0.
+        qparams = None
+        if args.quantize_artifact:
+            from jointpose.ops.quant import load_quantized
+
+            qparams = load_quantized(args.quantize_artifact)
+        elif args.quantize > 0:
+            from jointpose.ops.quant import quantize_detector
+
+            calib = train_ds.get_batch(
+                jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
+            )["image"]
+            qparams = quantize_detector(config, params, calib)
+        predict = build_pipelined_predictor(
+            config, params, n_micro=args.pipeline, qparams=qparams
+        )
     elif args.quantize > 0 or args.quantize_artifact:
         if mesh is not None:
             raise SystemExit("--quantize is exclusive with --mesh-data/--mesh-model")

@@ -81,6 +81,31 @@ def test_pipeline_rejects_indivisible_batches(tiny_params):
         pp(_images(cfg, 2))  # microbatch 1 vs 2-device stage
 
 
+def test_pipeline_with_int8_stage0(tiny_params):
+    # PP x int8: the pipelined predictor with qparams must agree with
+    # the single-program quantized predictor exactly (same int8 graph,
+    # different schedule).
+    import dataclasses as dc
+
+    from jointpose.ops.quant import build_quantized_predictor, quantize_detector
+
+    cfg, params = tiny_params
+    cfg = cfg.replace(detector=dc.replace(cfg.detector, head_conv_impl="direct"))
+    calib = jnp.asarray(_images(cfg, 4, seed=7))
+    q = quantize_detector(cfg, params, calib)
+    imgs = _images(cfg, 4, seed=8)
+    want_c, want_p = build_quantized_predictor(cfg, params, qparams=q)(
+        jnp.asarray(imgs)
+    )
+    pp = build_pipelined_predictor(cfg, params, devices=jax.devices()[:4],
+                                   n_micro=2, qparams=q)
+    got_c, got_p = pp(imgs)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-3)
+
+
 def test_pipeline_detector_only(tiny_params):
     # cfg.mrf=None: stage 1 degenerates to softmax+decode but the
     # schedule must still run and agree with the single program.
