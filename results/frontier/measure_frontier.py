@@ -23,7 +23,43 @@ from jointpose.perf import compiled_cost, roofline_images_per_sec
 POINTS = [
     "single_scale", "multires", "mrf", "joint", "joint+stride",
     "eval_tta", "eval_tta+stride", "flagship", "flagship_slim",
+    # int8 PTQ rows (ops/quant.py): s8xs8->s32 convs, int8 inter-layer
+    # tensors — 2x both roofline terms on v5e; PDJ-neutral
+    # (results/quant_r3/).  The joint+stride+int8 row is the
+    # letter-faithful paper topology's shot at the 10k bar.
+    "flagship+int8", "flagship_slim+int8", "joint+stride+int8", "mrf+int8",
 ]
+
+
+def build_int8_inference_fn(config, rng, images):
+    """The quantized production graph: int8 detector + float MRF tail +
+    decode (+TTA when the preset evals with it).  Activation scales are
+    calibrated on a small random batch — scales do not change the
+    compiled program's cost, only its accuracy (measured separately in
+    results/quant_r3/)."""
+    import jax.numpy as jnp
+
+    from jointpose.evaluate import flip_images, unflip_heatmaps
+    from jointpose.models.pose import PoseModel
+    from jointpose.ops.heatmaps import decode_probs, model_probs
+    from jointpose.ops.quant import make_quantized_apply_fn
+
+    model = PoseModel(config)
+    params = model.init(rng, images[:1])
+    calib = jax.random.uniform(rng, (8, *config.data.image_hw, 3), jnp.float32)
+    apply_fn = make_quantized_apply_fn(config, params, calib)
+    stride = config.data.heatmap_stride
+
+    def probs_fn(images):
+        return model_probs(apply_fn(None, images))
+
+    def forward(params_unused, images):
+        probs = probs_fn(images)
+        if config.eval_flip_tta:
+            probs = 0.5 * (probs + unflip_heatmaps(probs_fn(flip_images(images))))
+        return decode_probs(probs, stride, refine=config.decode_refine)
+
+    return model, params, jax.jit(forward)
 
 
 def build_tta_inference_fn(config):
@@ -53,10 +89,13 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     from jointpose.perf import PEAK_BF16_FLOPS, aot_compile
 
     # "<preset>+stride" rows measure the param-shape-compatible
-    # stride-conv trunk (BASELINE.md footnote 5) on the same preset.
-    base, _, variant = name.partition("+")
+    # stride-conv trunk (BASELINE.md footnote 5) on the same preset;
+    # "+int8" rows the PTQ detector (variants compose, e.g.
+    # "joint+stride+int8").
+    parts = name.split("+")
+    base, variants = parts[0], set(parts[1:])
     config = get_config(base)
-    if variant == "stride":
+    if "stride" in variants:
         from jointpose.configs import with_pool_mode
 
         config = with_pool_mode(config, "stride")
@@ -65,15 +104,18 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     # predict/serve default, PDJ-parity gated in
     # results/precision_gate/summary.json.
     config = with_mrf_precision(config, "default")
-    if config.eval_flip_tta:
-        model, forward = build_tta_inference_fn(config)
-    else:
-        model, forward = build_inference_fn(config)
     rng = jax.random.PRNGKey(0)
     # Production ingest: raw uint8 RGB, normalized in-graph (matches
     # bench.py; the convert fuses into the first conv's input read).
     images = jax.numpy.zeros((batch, *config.data.image_hw, 3), jax.numpy.uint8)
-    params = model.init(rng, images[:1])
+    if "int8" in variants:
+        model, params, forward = build_int8_inference_fn(config, rng, images)
+    else:
+        if config.eval_flip_tta:
+            model, forward = build_tta_inference_fn(config)
+        else:
+            model, forward = build_inference_fn(config)
+        params = model.init(rng, images[:1])
     compiled, cost = aot_compile(forward, params, images)
     flops_img = cost["flops"] / batch
     bytes_img = cost["bytes"] / batch
@@ -92,6 +134,7 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
             "impl": config.mrf.impl,
         },
         "tta": config.eval_flip_tta,
+        "int8": "int8" in variants,
         "input_dtype": "uint8",
         "mrf_precision": None if config.mrf is None else config.mrf.precision,
     }
@@ -132,7 +175,8 @@ def main():
     # Full op detail on the paper topology (the row round-2's verdict
     # asks to break down) and the flagship (the headline).
     rows = [
-        measure(name, batch, ops_detail=name in ("mrf", "flagship"))
+        measure(name, batch,
+                ops_detail=name in ("mrf", "flagship", "joint+stride+int8"))
         for name in POINTS
     ]
     out = {
