@@ -113,6 +113,10 @@ class PoseService:
         self._closed = False
         self.stats = {"requests": 0, "images": 0, "dispatches": 0,
                       "coalesced_batches": 0}
+        # Observability: per-request host latency (enqueue -> all results)
+        # and per-dispatch batch fill, over the last 1024 events.
+        self._latencies: collections.deque[float] = collections.deque(maxlen=1024)
+        self._fills: collections.deque[float] = collections.deque(maxlen=1024)
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="pose-dispatch", daemon=True
         )
@@ -180,8 +184,26 @@ class PoseService:
             self.stats["dispatches"] += 1
             if len(batch) > 1:
                 self.stats["coalesced_batches"] += 1
+            self._fills.append(n / self.batch_size)
             for p in batch:
                 p.event.set()
+
+    def metrics(self) -> dict:
+        """Counters + latency/fill summaries for /healthz (last 1024
+        requests/dispatches)."""
+        out = dict(self.stats)
+        lat = list(self._latencies)
+        if lat:
+            q = np.percentile(lat, [50, 95])
+            out["request_latency_ms"] = {
+                "p50": round(float(q[0]) * 1e3, 2),
+                "p95": round(float(q[1]) * 1e3, 2),
+                "max": round(max(lat) * 1e3, 2),
+            }
+        fills = list(self._fills)
+        if fills:
+            out["mean_batch_fill"] = round(float(np.mean(fills)), 3)
+        return out
 
     def close(self) -> None:
         with self._cond:
@@ -211,11 +233,14 @@ class PoseService:
             self.stats["images"] += int(images.shape[0])
             self._queue.extend(pendings)
             self._cond.notify_all()
+        t0 = time.monotonic()
         out: list[dict] = []
         for p in pendings:
             p.event.wait()
             if p.error is not None:
                 raise p.error
+        self._latencies.append(time.monotonic() - t0)
+        for p in pendings:
             for row in p.coords:
                 out.append(
                     {
@@ -245,7 +270,7 @@ def make_handler(service: PoseService):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "step": service.step,
                                  "config": service.config.name,
-                                 "batcher": dict(service.stats)})
+                                 "batcher": service.metrics()})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

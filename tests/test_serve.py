@@ -62,6 +62,19 @@ def test_healthz(live_server):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
         body = json.loads(resp.read())
     assert resp.status == 200 and body["status"] == "ok"
+    assert "dispatches" in body["batcher"]
+
+
+def test_healthz_latency_metrics(live_server):
+    cfg, port = live_server
+    h, w = cfg.data.image_hw
+    imgs = np.random.RandomState(9).rand(2, h, w, 3).astype(np.float32)
+    _post(port, "/predict", json.dumps({"images": imgs.tolist()}).encode())
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        body = json.loads(resp.read())
+    m = body["batcher"]
+    assert m["request_latency_ms"]["p95"] >= m["request_latency_ms"]["p50"] > 0
+    assert 0 < m["mean_batch_fill"] <= 1.0
 
 
 def test_predict_json(live_server):
