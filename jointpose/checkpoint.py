@@ -67,8 +67,8 @@ def reconcile_config(config, checkpoint_dir: str, pool_mode: str | None = None):
                 "modes share param shapes, so overriding would restore "
                 "cleanly and silently mis-evaluate"
             )
-        return with_pool_mode(config, pool_mode)
-    if recorded is not None and recorded != config.detector.pool_mode:
+        config = with_pool_mode(config, pool_mode)
+    elif recorded is not None and recorded != config.detector.pool_mode:
         print(
             f"[checkpoint] adopting recorded pool_mode={recorded!r} "
             f"(preset default {config.detector.pool_mode!r})"

@@ -20,11 +20,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jointpose import skeleton
 from jointpose.configs import AugmentConfig
 
-_FLIP_PERM = jnp.asarray(skeleton.FLIP_PERM, dtype=jnp.int32)
+# numpy on purpose: a module-scope jnp.asarray would initialize the
+# backend at IMPORT time, before the CLIs' --platform flag can apply
+# (and would block module import entirely when the TPU relay is down).
+_FLIP_PERM = np.asarray(skeleton.FLIP_PERM, dtype=np.int32)
 
 
 class AugmentParams(NamedTuple):

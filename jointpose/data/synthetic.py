@@ -20,18 +20,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jointpose import skeleton
 from jointpose.configs import DataConfig
 
-_LIMB_IDX = jnp.asarray(
+# numpy on purpose: module-scope jnp.asarray would initialize the
+# backend at IMPORT time, before the CLIs' --platform flag can apply.
+_LIMB_IDX = np.asarray(
     [[skeleton.JOINT_INDEX[a], skeleton.JOINT_INDEX[b]] for a, b in skeleton.LIMBS],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
 # Per-limb RGB so limbs are visually distinguishable (helps the detector
 # break left/right symmetry, like clothing/context does in real FLIC).
-_LIMB_COLORS = jnp.asarray(
+_LIMB_COLORS = np.asarray(
     [
         [0.9, 0.4, 0.3],
         [0.3, 0.9, 0.4],
@@ -44,7 +47,7 @@ _LIMB_COLORS = jnp.asarray(
         [0.4, 0.9, 0.6],
         [0.7, 0.7, 0.7],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

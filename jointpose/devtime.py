@@ -177,8 +177,11 @@ def measure_device_time(
     finally:
         jax.profiler.stop_trace()
     timing = parse_trace(trace_dir, name)
-    if own and timing is not None:
-        # Traces are ~10 KB; keep them only when the caller asked to.
+    if own:
+        # Traces are ~10 KB; keep them only when the caller asked to
+        # (passing trace_dir).  Remove ours even when parsing yielded
+        # no device events — otherwise every fallback-path call leaks
+        # a /tmp/jp_devtime_* directory.
         import shutil
 
         shutil.rmtree(trace_dir, ignore_errors=True)

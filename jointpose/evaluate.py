@@ -32,7 +32,9 @@ from jointpose.configs import Config
 from jointpose.data.pipeline import Dataset
 from jointpose.ops.heatmaps import decode_probs, model_probs
 
-_FLIP_PERM = jnp.asarray(skeleton.FLIP_PERM, dtype=jnp.int32)
+# numpy on purpose: a module-scope jnp.asarray would initialize the
+# backend at IMPORT time, before the CLIs' --platform flag can apply.
+_FLIP_PERM = np.asarray(skeleton.FLIP_PERM, dtype=np.int32)
 
 DEFAULT_THRESHOLDS: tuple[float, ...] = tuple(np.linspace(0.0, 0.2, 21).round(3).tolist())
 
@@ -249,7 +251,11 @@ def main(argv: list[str] | None = None) -> None:
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
                         help="write the full metrics dict to this JSON path")
+    from jointpose.cli import add_platform_flag, apply_platform
+
+    add_platform_flag(parser)
     args = parser.parse_args(argv)
+    apply_platform(args.platform)
 
     from jointpose.configs import get_config
     from jointpose.data.pipeline import make_dataset

@@ -673,7 +673,11 @@ def _probe_cache_store(key: str, ok: bool) -> None:
     try:
         path = _probe_cache_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        cache = dict(_probe_cache_load())
+        # Mutate the memoized load snapshot in place so successive
+        # stores within one process accumulate instead of each
+        # rewriting the file from the stale first-load snapshot
+        # (which dropped every key stored earlier in the process).
+        cache = _probe_cache_load()
         cache[key] = ok
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:

@@ -42,7 +42,15 @@ _QMAX = 127.0
 
 
 def _conv_names(cfg: DetectorConfig) -> list[str]:
-    trunks = ["trunk"] if cfg.share_trunk else ["trunk_full", "trunk_half"]
+    if cfg.share_trunk:
+        trunks = ["trunk"]
+    elif cfg.multires:
+        trunks = ["trunk_full", "trunk_half"]
+    else:
+        # Detector only instantiates trunk_half under multires
+        # (models/detector.py:158-160); emitting it here would KeyError
+        # on single-res share_trunk=False checkpoints.
+        trunks = ["trunk_full"]
     names = [
         f"{t}/conv{i}" for t in trunks for i in range(len(cfg.trunk_features))
     ]

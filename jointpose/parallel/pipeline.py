@@ -75,6 +75,23 @@ def build_pipelined_predictor(
     stride = cfg.data.heatmap_stride
     tta = cfg.eval_flip_tta
 
+    if cfg.detector.head_conv_impl == "auto":
+        # Pin 'auto' HERE, not per trace: stage 0 traces at the
+        # microbatch size, where the batch-dependent roofline could
+        # pick a different head impl (and bf16 numerics) than the
+        # single-program path at the full batch.  Resolve at the same
+        # point checkpoint metadata does (config geometry + training
+        # batch) so PP, eval, and serve provably run one program.
+        import dataclasses
+
+        from jointpose.models.detector import resolve_head_conv_impl
+
+        impl = resolve_head_conv_impl(
+            cfg.detector, cfg.data.image_hw, cfg.train.batch_size
+        )
+        cfg = cfg.replace(
+            detector=dataclasses.replace(cfg.detector, head_conv_impl=impl)
+        )
     det = Detector(cfg.detector, cfg.num_joints, dtype=dtype)
     # Params replicate within each stage group; activations shard on the
     # batch axis (PP x DP).

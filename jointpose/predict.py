@@ -150,7 +150,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--quantize-artifact", default=None, metavar="NPZ",
                         help="load a prebuilt int8 artifact (python -m "
                              "jointpose.quantize) instead of calibrating")
+    from jointpose.cli import add_platform_flag, apply_platform
+
+    add_platform_flag(parser)
     args = parser.parse_args(argv)
+    apply_platform(args.platform)
 
     from jointpose.checkpoint import reconcile_config
     from jointpose.configs import with_mrf_precision

@@ -32,7 +32,11 @@ def main(argv: list[str] | None = None) -> None:
                              "calibration")
     parser.add_argument("--out", required=True, help="artifact path (.npz)")
     parser.add_argument("--pool-mode", choices=["max", "stride"], default=None)
+    from jointpose.cli import add_platform_flag, apply_platform
+
+    add_platform_flag(parser)
     args = parser.parse_args(argv)
+    apply_platform(args.platform)
 
     from jointpose.checkpoint import reconcile_config
     from jointpose.configs import get_config

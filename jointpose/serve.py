@@ -115,6 +115,11 @@ class PoseService:
                       "coalesced_batches": 0}
         # Observability: per-request host latency (enqueue -> all results)
         # and per-dispatch batch fill, over the last 1024 events.
+        # Ring buffers are touched by request threads, the dispatcher,
+        # and /healthz concurrently; deque.append is atomic but
+        # iterating one during an append raises RuntimeError, so reads
+        # and writes share this lock.
+        self._stats_lock = threading.Lock()
         self._latencies: collections.deque[float] = collections.deque(maxlen=1024)
         self._fills: collections.deque[float] = collections.deque(maxlen=1024)
         self._dispatcher = threading.Thread(
@@ -184,7 +189,8 @@ class PoseService:
             self.stats["dispatches"] += 1
             if len(batch) > 1:
                 self.stats["coalesced_batches"] += 1
-            self._fills.append(n / self.batch_size)
+            with self._stats_lock:
+                self._fills.append(n / self.batch_size)
             for p in batch:
                 p.event.set()
 
@@ -192,7 +198,9 @@ class PoseService:
         """Counters + latency/fill summaries for /healthz (last 1024
         requests/dispatches)."""
         out = dict(self.stats)
-        lat = list(self._latencies)
+        with self._stats_lock:
+            lat = list(self._latencies)
+            fills = list(self._fills)
         if lat:
             q = np.percentile(lat, [50, 95])
             out["request_latency_ms"] = {
@@ -200,7 +208,6 @@ class PoseService:
                 "p95": round(float(q[1]) * 1e3, 2),
                 "max": round(max(lat) * 1e3, 2),
             }
-        fills = list(self._fills)
         if fills:
             out["mean_batch_fill"] = round(float(np.mean(fills)), 3)
         return out
@@ -239,7 +246,8 @@ class PoseService:
             p.event.wait()
             if p.error is not None:
                 raise p.error
-        self._latencies.append(time.monotonic() - t0)
+        with self._stats_lock:
+            self._latencies.append(time.monotonic() - t0)
         for p in pendings:
             for row in p.coords:
                 out.append(
@@ -330,7 +338,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="spatial-parallel devices: shard the detector "
                              "trunk rows over this many chips")
+    from jointpose.cli import add_platform_flag, apply_platform
+
+    add_platform_flag(parser)
     args = parser.parse_args(argv)
+    apply_platform(args.platform)
 
     from jointpose.checkpoint import reconcile_config
     from jointpose.configs import with_mrf_precision

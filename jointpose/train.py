@@ -358,7 +358,11 @@ def fit(
         except Exception:  # cost analysis is best-effort diagnostics
             stage_costs[key] = None
             return
-        n_img = config.train.batch_size * chunk
+        # XLA's cost analysis counts a lax.scan BODY ONCE regardless of
+        # trip count (verified in results/train_throughput/measure_train.py),
+        # so the K-step fused program's cost ≈ the single step's cost and
+        # per-image terms divide by the batch alone, NOT batch*chunk.
+        n_img = config.train.batch_size
         per_img_flops = cost["flops"] / n_img
         per_img_bytes = cost["bytes"] / n_img
         bound = roofline_images_per_sec(per_img_flops, per_img_bytes)
@@ -612,7 +616,11 @@ def main(argv: list[str] | None = None) -> None:
                         help="with --mesh-model > 1, also shard detector-"
                              "trunk image rows over 'model' (XLA halo "
                              "exchanges)")
+    from jointpose.cli import add_platform_flag, apply_platform
+
+    add_platform_flag(parser)
     args = parser.parse_args(argv)
+    apply_platform(args.platform)
 
     # Multi-host wiring (no-op on a single host) must precede device use.
     from jointpose.parallel.mesh import init_distributed

@@ -61,9 +61,12 @@ def main():
               "mrf": [0.0, 0.0, 0.0], "other": [0.0, 0.0, 0.0]}
     for op in row.get("top_ops", []):
         tf_op = op.get("tf_op", "")
-        if "/trunk/" in tf_op or "head_1x1" in tf_op:
+        if "/trunk/" in tf_op:
             g = "trunk"
-        elif "head_wide" in tf_op:
+        elif "head_wide" in tf_op or "head_1x1" in tf_op or "head_out" in tf_op:
+            # All head ops (wide 9x9 + 1x1 stack + output conv) count as
+            # 'head': the trunk-only bound below assumes the head is
+            # free, so head FLOPs must not inflate the trunk term.
             g = "head"
         elif "spatial_model" in tf_op:
             g = "mrf"
@@ -118,10 +121,13 @@ def main():
         f"{row['device_ms_per_batch']} ms per batch). The trunk aggregate "
         f"runs at {per_term['trunk']['tflops']} TFLOP/s (its big dense "
         "convs individually at 90%+ MXU, pool/epilogue fusions drag the "
-        "mean); even if EVERY trunk op hit the best conv utilization ever "
-        "measured here and the head+MRF were free, the trunk's "
-        f"{per_term['trunk']['gflop']} GFLOP/batch alone caps the topology "
-        "below 10k (see trunk_only_bound_images_per_sec).",
+        "mean). Even granting EVERY trunk op the best conv utilization "
+        "ever measured here and a free head+MRF, the trunk's "
+        f"{per_term['trunk']['gflop']} GFLOP/batch allows only "
+        "trunk_only_bound_images_per_sec — barely over the bar — while "
+        "the whole program needs required_tflops_for_10k TFLOP/s "
+        "sustained, above the chip's absolute bf16 peak; the binding "
+        "impossibility argument is the full-program FLOP ceiling.",
         "hbm_peak_gbps": HBM_BYTES_PER_SEC / 1e9,
     }
     with open(os.path.join(HERE, "ceiling.json"), "w") as f:

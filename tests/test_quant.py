@@ -142,6 +142,31 @@ def test_quantize_cli(tmp_path):
     assert "head_out" in q and q["head_out"]["w_q"].dtype == jnp.int8
 
 
+def test_quantized_single_res_unshared_trunk():
+    # share_trunk=False without multires: the Detector instantiates only
+    # trunk_full (no trunk_half) — quantization's conv-name walk must
+    # not emit the absent branch (regression: KeyError on such
+    # checkpoints).
+    cfg = _direct_cfg()
+    cfg = cfg.replace(
+        detector=dataclasses.replace(
+            cfg.detector, multires=False, share_trunk=False
+        )
+    )
+    model = PoseModel(cfg)
+    h, w = cfg.data.image_hw
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, h, w, 3)))
+    calib = jnp.asarray(np.random.RandomState(7).rand(4, h, w, 3), jnp.float32)
+    q = quantize_detector(cfg, params, calib)
+    got = quant_detector_logits(cfg, q, calib)
+    want = fp_reference_logits(cfg, params, calib)
+    assert np.isfinite(np.asarray(got)).all()
+    # int8 tracks fp within the usual PTQ tolerance
+    err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    scale = max(float(np.max(np.abs(np.asarray(want)))), 1e-6)
+    assert err / scale < 0.15
+
+
 def test_quantized_predictor_non_multires():
     cfg = _direct_cfg()
     cfg = cfg.replace(detector=dataclasses.replace(cfg.detector, multires=False))
