@@ -41,6 +41,26 @@ def build_predictor(config: Config, params, mesh=None, spatial: bool = False):
     sharded over 'model' — XLA-inserted halo exchanges — and engages the
     MRF's source-joint TP, so a single image's latency also scales.
     """
+    if config.detector.head_conv_impl == "auto":
+        # Resolve 'auto' ONCE at the checkpoint-metadata resolution
+        # point (config geometry + training batch) rather than per
+        # trace: the roofline choice is batch-dependent, and a predictor
+        # built for a different batch would otherwise run different
+        # bf16 head numerics than the evaluated model.  Keeps every
+        # surface (predict, serve, pipelined PP) on one program.
+        import dataclasses as _dc
+
+        from jointpose.models.detector import resolve_head_conv_impl
+
+        config = config.replace(
+            detector=_dc.replace(
+                config.detector,
+                head_conv_impl=resolve_head_conv_impl(
+                    config.detector, config.data.image_hw,
+                    config.train.batch_size,
+                ),
+            )
+        )
     use_model_axis = mesh is not None and mesh.shape["model"] > 1
     model = PoseModel(
         config,

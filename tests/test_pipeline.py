@@ -57,6 +57,26 @@ def test_pipeline_matches_single_program(tiny_params, dtype):
                                rtol=1e-5, atol=1e-3)
 
 
+def test_pipeline_pins_auto_head_impl(tiny_params):
+    # head_conv_impl='auto' is batch-dependent; stage 0 traces at the
+    # MICROBATCH size, so without build-time pinning the pipelined
+    # detector could resolve a different impl (and numerics) than the
+    # single-program path at the full batch (round-3 review finding).
+    cfg, params = tiny_params
+    cfg = cfg.replace(
+        detector=dataclasses.replace(cfg.detector, head_conv_impl="auto")
+    )
+    imgs = _images(cfg, 8, seed=3)
+    want_c, want_p = build_predictor(cfg, params)(jnp.asarray(imgs))
+    pp = build_pipelined_predictor(cfg, params, devices=jax.devices()[:4],
+                                   n_micro=2)
+    got_c, got_p = pp(imgs)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-3)
+
+
 def test_pipeline_with_flip_tta(tiny_params):
     cfg, params = tiny_params
     cfg = dataclasses.replace(cfg, eval_flip_tta=True)

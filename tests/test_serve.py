@@ -4,6 +4,7 @@ import dataclasses
 import io
 import json
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -43,6 +44,14 @@ def live_server(tiny_checkpoint):
     thread.start()
     yield cfg, port
     server.shutdown()
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode(errors="replace")
 
 
 def _post(port, path, data, ctype="application/json"):
@@ -166,6 +175,47 @@ def test_predict_concurrent(live_server):
         status, body = res
         assert status == 200, body
         assert body["predictions"] == want[i]
+
+
+def test_healthz_under_concurrent_load(live_server):
+    # /healthz iterates the latency/fill ring buffers while request and
+    # dispatcher threads append — without the stats lock this raised
+    # RuntimeError('deque mutated during iteration') exactly under load
+    # (round-3 review finding).  Hammer predict from 4 threads while
+    # polling healthz from 4 more; every poll must return 200.
+    cfg, port = live_server
+    h, w = cfg.data.image_hw
+    rs = np.random.RandomState(7)
+    imgs = rs.rand(4, 1, h, w, 3).astype(np.float32)
+    stop = threading.Event()
+    errors: list = []
+
+    def pound(i):
+        while not stop.is_set():
+            buf = io.BytesIO()
+            np.save(buf, imgs[i])
+            status, _ = _post(port, "/predict", buf.getvalue(),
+                              ctype="application/x-npy")
+            if status != 200:
+                errors.append(("predict", status))
+
+    def poll():
+        while not stop.is_set():
+            status, body = _get(port, "/healthz")
+            if status != 200:
+                errors.append(("healthz", status, body))
+
+    threads = [threading.Thread(target=pound, args=(i,)) for i in range(4)]
+    threads += [threading.Thread(target=poll) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(3.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors[:5]
+    status, body = _get(port, "/healthz")
+    assert status == 200 and "request_latency_ms" in body["batcher"]
 
 
 def test_micro_batcher_coalesces(tiny_checkpoint):
