@@ -234,6 +234,9 @@ def pallas_parity_check(batch: int = 4) -> dict:
 
 def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     degraded = _ensure_backend()
+    from jointpose.cli import enable_compilation_cache
+
+    enable_compilation_cache()  # warm re-runs skip the 20-120 s compiles
     config = get_config("flagship")
     # Production inference precision (predict/serve default): single-pass
     # bf16 MRF matmuls.  The flagship's full-split PDJ curves are

@@ -81,3 +81,23 @@ def test_predict_cli_best_missing_raises(tmp_path):
     ck.close()
     with pytest.raises(FileNotFoundError, match="no best checkpoint"):
         restore_params(cfg, ckdir, best=True)
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    # The persistent XLA cache points at JOINTPOSE_CACHE_DIR/xla and is
+    # an optimization only: the kill switch disables it cleanly.
+    from jointpose.cli import enable_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv("JOINTPOSE_CACHE_DIR", str(tmp_path))
+    try:
+        got = enable_compilation_cache()
+        assert got == str(tmp_path / "xla") and os.path.isdir(got)
+        assert jax.config.jax_compilation_cache_dir == got
+
+        monkeypatch.setenv("JOINTPOSE_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+    finally:
+        # jax.config is process-global; don't leave later tests writing
+        # cache entries into this test's deleted tmp dir.
+        jax.config.update("jax_compilation_cache_dir", old)
