@@ -368,7 +368,27 @@ def main(argv: list[str] | None = None) -> None:
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")
-    server.serve_forever()
+
+    # Graceful shutdown: SIGTERM/SIGINT stop accepting connections, let
+    # in-flight requests finish, dispatch whatever is queued, and join
+    # the dispatcher — so a production drain (or Ctrl-C) never drops an
+    # accepted request.  server.shutdown() blocks until serve_forever
+    # returns, so it must run off the signal-handler thread.
+    import signal
+    import threading
+
+    def _graceful(signum, frame):
+        print(f"[serve] signal {signum}: draining", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+    try:
+        server.serve_forever()
+    finally:
+        service.close()
+        server.server_close()
+        print("[serve] shut down cleanly", flush=True)
 
 
 if __name__ == "__main__":

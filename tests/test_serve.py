@@ -311,3 +311,42 @@ def test_serve_dp_mesh(live_server, tiny_checkpoint):
     for a, b in zip(got, body["predictions"]):
         for name in a["joints"]:
             assert a["joints"][name] == pytest.approx(b["joints"][name], abs=1e-3)
+
+
+def test_sigterm_graceful_shutdown(tiny_checkpoint):
+    # SIGTERM must drain: stop accepting, finish in-flight work, close
+    # the batcher, and exit 0 — a production drain never drops an
+    # accepted request or leaves the dispatcher hanging.
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    cfg, ckpt_dir = tiny_checkpoint
+    port = 8489
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "jointpose.serve", "--config", "tiny",
+         "--checkpoint", ckpt_dir, "--port", str(port), "--batch-size", "2",
+         "--step", "0", "--platform", "cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        deadline = time.monotonic() + 240
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                status, _ = _get(port, "/healthz")
+                if status == 200:
+                    up = True
+                    break
+            except OSError:
+                time.sleep(1.0)
+        assert up, "server never came up"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out[-2000:]
+        assert "shut down cleanly" in out, out[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
