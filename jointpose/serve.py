@@ -66,11 +66,30 @@ class PoseService:
     def __init__(self, config: Config, checkpoint_dir: str, batch_size: int,
                  step: int | None = None, best: bool = True, mesh=None,
                  batch_wait_ms: float = 2.0, quantize_calib: int = 0,
-                 quantize_artifact: str | None = None):
+                 quantize_artifact: str | None = None,
+                 batch_buckets: list[int] | None = None):
         from jointpose.predict import build_predictor, restore_params
 
         self.config = config
         self.batch_size = batch_size
+        # Batch-size buckets: a lone 1-image request pads to the
+        # smallest compiled bucket that fits instead of the full
+        # serving batch — low-traffic latency and wasted compute drop
+        # by batch_size/bucket.  Each bucket costs one compile per
+        # dtype at startup; the largest bucket is always batch_size.
+        buckets = sorted(set(batch_buckets or [])) if batch_buckets else []
+        if any(b < 1 or b > batch_size for b in buckets):
+            raise ValueError(
+                f"batch_buckets {buckets} must lie in [1, batch_size={batch_size}]"
+            )
+        if mesh is not None:
+            bad = [b for b in buckets if b % mesh.shape["data"]]
+            if bad:
+                raise ValueError(
+                    f"batch_buckets {bad} do not divide the mesh data axis "
+                    f"({mesh.shape['data']})"
+                )
+        self._buckets = buckets + [batch_size]
         params, self.step = restore_params(config, checkpoint_dir, step, best=best)
         if quantize_calib > 0 or quantize_artifact:
             if mesh is not None:
@@ -100,8 +119,9 @@ class PoseService:
         # its own jit cache entry, and 'no recompiles at serving time'
         # must hold for the first uint8 request too.
         h, w = config.data.image_hw
-        self._predict(jnp.zeros((batch_size, h, w, 3), jnp.float32))
-        self._predict(jnp.zeros((batch_size, h, w, 3), jnp.uint8))
+        for b in self._buckets:
+            self._predict(jnp.zeros((b, h, w, 3), jnp.float32))
+            self._predict(jnp.zeros((b, h, w, 3), jnp.uint8))
 
         # Micro-batcher: one dispatcher thread owns the device, so the
         # compiled executable is never entered concurrently (round-2
@@ -166,7 +186,10 @@ class PoseService:
         try:
             chunk = (batch[0].images if len(batch) == 1
                      else np.concatenate([p.images for p in batch]))
-            pad = self.batch_size - n
+            # Smallest compiled bucket that fits — the dispatcher never
+            # collects more than batch_size (the largest bucket).
+            bucket = next(b for b in self._buckets if b >= n)
+            pad = bucket - n
             if pad:
                 h, w = self.config.data.image_hw
                 chunk = np.concatenate(
@@ -190,7 +213,8 @@ class PoseService:
             if len(batch) > 1:
                 self.stats["coalesced_batches"] += 1
             with self._stats_lock:
-                self._fills.append(n / self.batch_size)
+                # Fill is relative to the bucket actually dispatched.
+                self._fills.append(n / next(b for b in self._buckets if b >= n))
             for p in batch:
                 p.event.set()
 
@@ -328,6 +352,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--quantize-artifact", default=None, metavar="NPZ",
                         help="load a prebuilt int8 artifact (python -m "
                              "jointpose.quantize) instead of calibrating")
+    parser.add_argument("--batch-buckets", default=None, metavar="N,N,...",
+                        help="extra compiled batch sizes below --batch-size "
+                             "(e.g. '1,8'): a small request pads only to the "
+                             "smallest bucket that fits instead of the full "
+                             "serving batch")
     parser.add_argument("--batch-wait-ms", type=float, default=2.0,
                         help="how long the dispatcher waits to coalesce "
                              "concurrent requests into one device batch "
@@ -361,10 +390,14 @@ def main(argv: list[str] | None = None) -> None:
                 f"{args.batch_size}"
             )
         mesh = make_mesh(MeshConfig(data=data_axis, model=args.mesh_model))
+    buckets = (
+        [int(b) for b in args.batch_buckets.split(",") if b.strip()]
+        if args.batch_buckets else None
+    )
     service = PoseService(
         config, args.checkpoint, args.batch_size, step=args.step, mesh=mesh,
         batch_wait_ms=args.batch_wait_ms, quantize_calib=args.quantize,
-        quantize_artifact=args.quantize_artifact,
+        quantize_artifact=args.quantize_artifact, batch_buckets=buckets,
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")

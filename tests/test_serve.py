@@ -350,3 +350,27 @@ def test_sigterm_graceful_shutdown(tiny_checkpoint):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_batch_buckets(tiny_checkpoint):
+    # With buckets [1, 2] and batch_size 4, a single 1-image request
+    # dispatches at bucket 1 (fill 1.0, not 0.25), and a 3-image
+    # request pads to the full batch; invalid buckets are rejected.
+    cfg, ckpt_dir = tiny_checkpoint
+    service = PoseService(cfg, ckpt_dir, batch_size=4, best=False,
+                          batch_wait_ms=0.0, batch_buckets=[1, 2])
+    try:
+        h, w = cfg.data.image_hw
+        rs = np.random.RandomState(13)
+        service.predict(rs.rand(1, h, w, 3).astype(np.float32))
+        service.predict(rs.rand(3, h, w, 3).astype(np.float32))
+        with service._stats_lock:
+            fills = list(service._fills)
+        assert fills[0] == 1.0          # 1 image -> bucket 1
+        assert fills[1] == 3 / 4        # 3 images -> full batch of 4
+    finally:
+        service.close()
+
+    with pytest.raises(ValueError, match="batch_buckets"):
+        PoseService(cfg, ckpt_dir, batch_size=4, best=False,
+                    batch_buckets=[8])
