@@ -242,6 +242,10 @@ def main(argv: list[str] | None = None) -> None:
                         help="model-axis size: spatial-shard the detector "
                              "trunk and source-joint-shard the MRF pass; "
                              "composes with --mesh-data on a 2-D mesh")
+    parser.add_argument("--quantize-artifact", default=None, metavar="NPZ",
+                        help="evaluate a prebuilt int8 artifact (python -m "
+                             "jointpose.quantize) instead of calibrating — "
+                             "the exact tensors a deployment serves")
     parser.add_argument("--quantize", type=int, default=0, metavar="N_CALIB",
                         help="evaluate the int8-quantized detector (PTQ, "
                              "ops/quant.py), calibrating activation scales "
@@ -289,16 +293,24 @@ def main(argv: list[str] | None = None) -> None:
         )
         params = shard_params(params, mesh)
     use_model_axis = mesh is not None and mesh.shape["model"] > 1
-    if args.quantize > 0:
+    if args.quantize > 0 or args.quantize_artifact:
         if mesh is not None:
             raise SystemExit("--quantize is exclusive with --mesh-data/--mesh-model")
         from jointpose.ops.quant import make_quantized_apply_fn
 
-        calib = train_ds.get_batch(
-            jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
-        )["image"]
-        apply_fn = make_quantized_apply_fn(config, params, calib)
-        print(f"int8 detector (calibrated on {calib.shape[0]} train images)")
+        if args.quantize_artifact:
+            from jointpose.ops.quant import load_quantized
+
+            apply_fn = make_quantized_apply_fn(
+                config, params, qparams=load_quantized(args.quantize_artifact)
+            )
+            print(f"int8 detector (artifact {args.quantize_artifact})")
+        else:
+            calib = train_ds.get_batch(
+                jnp.arange(min(args.quantize, train_ds.size), dtype=jnp.int32)
+            )["image"]
+            apply_fn = make_quantized_apply_fn(config, params, calib)
+            print(f"int8 detector (calibrated on {calib.shape[0]} train images)")
     else:
         model = PoseModel(
             config,

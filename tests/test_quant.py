@@ -141,6 +141,19 @@ def test_quantize_cli(tmp_path):
     q = load_quantized(out)
     assert "head_out" in q and q["head_out"]["w_q"].dtype == jnp.int8
 
+    # The eval surface accepts the same artifact (deploy-what-you-eval):
+    from jointpose.evaluate import main as evaluate_main
+
+    evaluate_main(["--config", "tiny", "--checkpoint", ckpt_dir,
+                   "--step", "0", "--max-batches", "1", "--no-tta",
+                   "--quantize-artifact", out,
+                   "--json-out", str(tmp_path / "m.json")])
+    import json as _json
+
+    with open(tmp_path / "m.json") as f:
+        m = _json.load(f)
+    assert 0.0 <= m["pdj_at_05_wrist_elbow"] <= 1.0
+
 
 def test_quantized_single_res_unshared_trunk():
     # share_trunk=False without multires: the Detector instantiates only
