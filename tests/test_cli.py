@@ -101,3 +101,19 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         # jax.config is process-global; don't leave later tests writing
         # cache entries into this test's deleted tmp dir.
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_bench_degraded_mode(monkeypatch):
+    # With the TPU unreachable the bench must still emit a valid,
+    # clearly-labeled JSON result (the driver records it at round end);
+    # JOINTPOSE_BENCH_DEGRADED short-circuits the subprocess probe.
+    import sys
+
+    monkeypatch.setenv("JOINTPOSE_BENCH_DEGRADED", "test: relay down")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    res = bench.main(batch_size=8)
+    assert res["measurement"] == "cost_analysis_roofline_model_tpu_unavailable"
+    assert res["tpu_unavailable_reason"] == "test: relay down"
+    assert res["value"] > 0 and res["roofline_images_per_sec"] == res["value"]
