@@ -15,7 +15,14 @@ from __future__ import annotations
 # TPU v5 lite (v5e-class) peak: ~197 TFLOP/s bf16, ~819 GB/s HBM.
 PEAK_BF16_FLOPS = 197e12
 HBM_BYTES_PER_SEC = 819e9
-# Conservative sustained MXU fraction for conv-dominated programs.
+# Sustained MXU fraction used by the ROOFLINE MODEL only.  Round-3
+# device-side measurement (profiler traces, devtime.py) anchored it:
+# whole-program util is 0.36-0.51 depending on topology (flagship 0.51,
+# paper topology 0.36 — bandwidth-bound tail ops drag the mean while
+# the big conv fusions individually sustain 0.86-0.93), so 0.60 makes
+# the roofline an upper BOUND that sat ~17% above the measured flagship
+# rate.  Measured rates are published next to the model everywhere
+# (bench.py device fields, frontier_costs.json measured_* columns).
 ASSUMED_MXU_UTIL = 0.60
 
 
