@@ -108,11 +108,16 @@ def test_supervisor_gives_up_after_budget(tmp_path):
 
 
 def _train_cmd(workdir: str, steps: int = 20) -> list[str]:
+    # --platform cpu is load-bearing: the boot hook re-pins JAX_PLATFORMS
+    # in every fresh interpreter, so the env override below never reaches
+    # jax — without the flag these subprocesses silently trained through
+    # the TPU relay (and HUNG for ~35 min/attempt whenever the relay was
+    # down, which is exactly the failure mode this subsystem exists for).
     return [
         sys.executable, "-m", "jointpose.train",
         "--config", "tiny", "--workdir", workdir,
         "--detector-steps", str(steps), "--joint-steps", "0",
-        "--eval-max-batches", "1",
+        "--eval-max-batches", "1", "--platform", "cpu",
     ]
 
 
