@@ -139,9 +139,18 @@ def init_distributed() -> None:
     """Multi-host init over DCN (coordinator discovery via env vars).
 
     No-op on a single host; call before any jax API in multi-host runs
-    (SURVEY §5 'Distributed communication backend').
+    (SURVEY §5 'Distributed communication backend').  jax reads
+    JAX_COORDINATOR_ADDRESS itself but autodetects process count/index
+    only under a cluster scheduler (SLURM/GKE); a plain N-process
+    launch additionally sets JAX_NUM_PROCESSES and JAX_PROCESS_ID and
+    we pass them through explicitly (exercised for real by
+    tests/test_multihost.py's two-process run).
     """
     import os
 
     if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+        kwargs = {}
+        n, pid = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get("JAX_PROCESS_ID")
+        if n is not None and pid is not None:
+            kwargs = {"num_processes": int(n), "process_id": int(pid)}
+        jax.distributed.initialize(**kwargs)

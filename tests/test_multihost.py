@@ -28,11 +28,15 @@ import jax
 # The rig's sitecustomize force-selects the axon TPU relay regardless of
 # JAX_PLATFORMS; override in-process before any backend is touched.
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address=os.environ["TEST_COORD"],
-    num_processes=2,
-    process_id=int(os.environ["TEST_PID"]),
-)
+# Go through the PRODUCTION multi-host entry (parallel/mesh.py
+# init_distributed), driven purely by its env-var contract — the same
+# path train.py's main() calls.
+os.environ["JAX_COORDINATOR_ADDRESS"] = os.environ["TEST_COORD"]
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = os.environ["TEST_PID"]
+sys.path.insert(0, os.environ["TEST_REPO"])
+from jointpose.parallel.mesh import init_distributed
+init_distributed()
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
