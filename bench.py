@@ -268,6 +268,23 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
         from jointpose.perf import roofline_images_per_sec
 
         roofline = roofline_images_per_sec(flops_per_image, bytes_per_image)
+        # Context: the most recent REAL device measurement of this same
+        # program, from the committed frontier record (profiler-trace
+        # device time on the axon chip).
+        last = {}
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "results/frontier/frontier_costs.json")) as f:
+                rows = json.load(f)
+            row = next(r for r in (rows if isinstance(rows, list) else rows["rows"])
+                       if r.get("preset") == "flagship")
+            last = {
+                "last_measured_images_per_sec": row["measured_images_per_sec"],
+                "last_measured_source": "results/frontier/frontier_costs.json "
+                                        "(profiler-trace device time, prior run)",
+            }
+        except Exception:
+            pass
         result = {
             "metric": "flic_images_per_sec_per_chip_detector_mrf_inference",
             "value": round(roofline, 1),
@@ -280,6 +297,7 @@ def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
             "input_dtype": "uint8",
             "bytes_per_image_mb": round(bytes_per_image / 1e6, 2),
             "roofline_images_per_sec": round(roofline, 1),
+            **last,
         }
         print(json.dumps(result))
         return result
