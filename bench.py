@@ -234,9 +234,13 @@ def pallas_parity_check(batch: int = 4) -> dict:
 
 def main(batch_size: int = 128, warmup: int = 5, iters: int = 30) -> dict:
     degraded = _ensure_backend()
-    from jointpose.cli import enable_compilation_cache
+    if not degraded:
+        # Warm re-runs skip the 20-120 s TPU compiles; kept off in
+        # degraded (CPU) mode — XLA:CPU AOT cache entries key on exact
+        # host machine features.
+        from jointpose.cli import enable_compilation_cache
 
-    enable_compilation_cache()  # warm re-runs skip the 20-120 s compiles
+        enable_compilation_cache()
     config = get_config("flagship")
     # Production inference precision (predict/serve default): single-pass
     # bf16 MRF matmuls.  The flagship's full-split PDJ curves are

@@ -55,12 +55,17 @@ def add_platform_flag(parser) -> None:
 def apply_platform(platform: str | None) -> None:
     """Apply ``--platform`` before any JAX backend use.
 
-    Also enables the persistent compilation cache — every CLI entry
-    point calls this right after parse_args, which is exactly the
-    before-first-backend-use moment both knobs need.
+    Also enables the persistent compilation cache on the default (TPU)
+    path — every CLI entry point calls this right after parse_args,
+    which is exactly the before-first-backend-use moment both knobs
+    need.  The cache stays OFF for --platform cpu: XLA:CPU AOT entries
+    key on exact host machine features and a mismatched load warns of
+    possible SIGILL, while CPU compiles are cheap anyway; the 20-120 s
+    compiles the cache exists for are all on the TPU path.
     """
     if platform and platform != "default":
         import jax
 
         jax.config.update("jax_platforms", platform)
-    enable_compilation_cache()
+    else:
+        enable_compilation_cache()
