@@ -12,8 +12,10 @@ uses the single model defined here.
 
 from __future__ import annotations
 
-# TPU v5 lite (v5e-class) peak: ~197 TFLOP/s bf16, ~819 GB/s HBM.
+# TPU v5 lite (v5e-class) peak: ~197 TFLOP/s bf16, ~394 TOP/s int8,
+# ~819 GB/s HBM.
 PEAK_BF16_FLOPS = 197e12
+PEAK_INT8_OPS = 394e12
 HBM_BYTES_PER_SEC = 819e9
 # Sustained MXU fraction used by the ROOFLINE MODEL only.  Round-3
 # device-side measurement (profiler traces, devtime.py) anchored it:
@@ -49,11 +51,21 @@ def compiled_cost(jitted, *args) -> dict:
     return aot_compile(jitted, *args)[1]
 
 
-def roofline_images_per_sec(flops_per_image: float, bytes_per_image: float = 0.0):
-    """Model-derived img/s bound: min(MXU roofline, HBM roofline)."""
+def roofline_images_per_sec(
+    flops_per_image: float,
+    bytes_per_image: float = 0.0,
+    peak_flops: float = PEAK_BF16_FLOPS,
+):
+    """Model-derived img/s bound: min(MXU roofline, HBM roofline).
+
+    ``peak_flops`` must match the ledger ``flops_per_image`` was counted
+    in — pass PEAK_INT8_OPS for quantized programs whose cost analysis
+    counts s8 MACs (ADVICE r3: dividing an int8 ledger by the bf16 peak
+    yields rooflines below measured throughput and utils > 1).
+    """
     if flops_per_image <= 0:
         return None
-    mxu = PEAK_BF16_FLOPS * ASSUMED_MXU_UTIL / flops_per_image
+    mxu = peak_flops * ASSUMED_MXU_UTIL / flops_per_image
     if bytes_per_image > 0:
         return min(mxu, HBM_BYTES_PER_SEC * 0.8 / bytes_per_image)
     return mxu

@@ -24,9 +24,12 @@ POINTS = [
     "single_scale", "multires", "mrf", "joint", "joint+stride",
     "eval_tta", "eval_tta+stride", "flagship", "flagship_slim",
     # int8 PTQ rows (ops/quant.py): s8xs8->s32 convs, int8 inter-layer
-    # tensors — 2x both roofline terms on v5e; PDJ-neutral
-    # (results/quant_r3/).  The joint+stride+int8 row is the
-    # letter-faithful paper topology's shot at the 10k bar.
+    # tensors.  Measured verdict (2026-08-18): int8 is slightly SLOWER
+    # than bf16 on every preset on this chip — the quantized head is
+    # locked out of the Fourier path and the requantize epilogues
+    # outweigh the byte savings.  int8 is the deployment-compression
+    # option (2x smaller artifacts at neutral PDJ), not a throughput
+    # lever; rows are kept to document that measurement.
     "flagship+int8", "flagship_slim+int8", "joint+stride+int8", "mrf+int8",
 ]
 
@@ -86,7 +89,7 @@ def build_tta_inference_fn(config):
 
 def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     from jointpose.devtime import measure_device_time
-    from jointpose.perf import PEAK_BF16_FLOPS, aot_compile
+    from jointpose.perf import PEAK_BF16_FLOPS, PEAK_INT8_OPS, aot_compile
 
     # "<preset>+stride" rows measure the param-shape-compatible
     # stride-conv trunk (BASELINE.md footnote 5) on the same preset;
@@ -119,12 +122,17 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     compiled, cost = aot_compile(forward, params, images)
     flops_img = cost["flops"] / batch
     bytes_img = cost["bytes"] / batch
-    roof = roofline_images_per_sec(flops_img, bytes_img)
+    # int8 programs: cost analysis counts s8 MACs, so every derived
+    # field must divide by the chip's 394 TOP/s int8 peak — the bf16
+    # peak yields utils > 1 and rooflines below measured (ADVICE r3).
+    peak = PEAK_INT8_OPS if "int8" in variants else PEAK_BF16_FLOPS
+    roof = roofline_images_per_sec(flops_img, bytes_img, peak_flops=peak)
     row = {
         "preset": name,
         "batch": batch,
         "gflop_per_image": round(flops_img / 1e9, 3),
         "mb_per_image": round(bytes_img / 1e6, 2),
+        "flop_ledger": "int8" if "int8" in variants else "bf16",
         "roofline_images_per_sec": round(roof, 1),
         "mrf": None
         if config.mrf is None
@@ -147,9 +155,7 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
         med = timing.median_run_s
         row["device_ms_per_batch"] = round(med * 1e3, 3)
         row["measured_images_per_sec"] = round(batch / med, 1)
-        row["measured_mxu_util"] = round(
-            flops_img * batch / med / PEAK_BF16_FLOPS, 3
-        )
+        row["measured_mxu_util"] = round(flops_img * batch / med / peak, 3)
         if ops_detail:
             # Per-op device-time/traffic breakdown (round-2 verdict
             # missing #3: publish where the paper topology's bytes go).
@@ -186,6 +192,7 @@ def main():
     }
     with open("results/frontier/frontier_costs.json", "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print("wrote results/frontier/frontier_costs.json")
 
 
