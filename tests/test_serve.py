@@ -374,3 +374,122 @@ def test_batch_buckets(tiny_checkpoint):
     with pytest.raises(ValueError, match="batch_buckets"):
         PoseService(cfg, ckpt_dir, batch_size=4, best=False,
                     batch_buckets=[8])
+
+
+def test_overload_sheds_requests(tiny_checkpoint):
+    # Saturation (round-3 verdict weak #5): with the device slowed to a
+    # crawl, a burst beyond max_queue_images must be rejected up front
+    # with ServiceOverloaded — not queued into unbounded latency — while
+    # every admitted request still completes.
+    from jointpose.serve import ServiceOverloaded
+
+    cfg, ckpt_dir = tiny_checkpoint
+    service = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                          batch_wait_ms=0.0, max_queue_images=4)
+    try:
+        real_predict = service._predict
+
+        def slow_predict(x):
+            time.sleep(0.25)  # ~device saturation: drain << arrival rate
+            return real_predict(x)
+
+        service._predict = slow_predict
+        h, w = cfg.data.image_hw
+        imgs = np.random.RandomState(3).rand(16, 1, h, w, 3).astype(np.float32)
+        outcomes = [None] * 16
+
+        def worker(i):
+            try:
+                outcomes[i] = ("ok", service.predict(imgs[i]))
+            except ServiceOverloaded as e:
+                outcomes[i] = ("shed", e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        oks = [o for o in outcomes if o[0] == "ok"]
+        sheds = [o for o in outcomes if o[0] == "shed"]
+        # 16 one-image requests arrive ~instantly against a 0.25 s/dispatch
+        # device with a 4-image queue cap: most must shed, some must land.
+        assert len(sheds) >= 8, f"only {len(sheds)} shed of 16"
+        assert len(oks) >= 1
+        assert service.stats["shed_requests"] == len(sheds)
+        for _, preds in oks:
+            assert "joints" in preds[0]
+        # Queue drains back to zero once the burst is served.
+        m = service.metrics()
+        assert m["queue_depth_images"] == 0
+        assert m["max_queue_images"] == 4
+        assert m["shed_requests"] == len(sheds)
+    finally:
+        service._predict = real_predict
+        service.close()
+
+
+def test_overload_http_503(tiny_checkpoint):
+    # The HTTP layer must map ServiceOverloaded to 503 + Retry-After and
+    # keep serving afterwards.
+    cfg, ckpt_dir = tiny_checkpoint
+    service = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                          batch_wait_ms=0.0, max_queue_images=2)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        real_predict = service._predict
+
+        def slow_predict(x):
+            time.sleep(0.3)
+            return real_predict(x)
+
+        service._predict = slow_predict
+        h, w = cfg.data.image_hw
+        img = np.random.RandomState(5).rand(1, h, w, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        body = buf.getvalue()
+        codes = [None] * 10
+
+        def worker(i):
+            codes[i], _ = _post(port, "/predict", body, "application/x-npy")
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert 503 in codes, f"no 503 under saturation: {codes}"
+        assert 200 in codes, f"no success under saturation: {codes}"
+        # Healthz exposes the queue gauge + shed counter and the service
+        # still answers normally after the burst.
+        service._predict = real_predict
+        code, health = _get(port, "/healthz")
+        assert code == 200
+        b = health["batcher"]
+        assert b["shed_requests"] == codes.count(503)
+        assert b["queue_depth_images"] == 0
+        code, _ = _post(port, "/predict", body, "application/x-npy")
+        assert code == 200
+    finally:
+        server.shutdown()
+        service.close()
+
+
+def test_empty_queue_admits_oversized_request(tiny_checkpoint):
+    # The cap bounds backlog inflicted on OTHERS: an idle service must
+    # accept a single request larger than max_queue_images (its chunks
+    # pipeline through the dispatcher like any large request).
+    cfg, ckpt_dir = tiny_checkpoint
+    service = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                          batch_wait_ms=0.0, max_queue_images=2)
+    try:
+        h, w = cfg.data.image_hw
+        imgs = np.random.RandomState(7).rand(6, h, w, 3).astype(np.float32)
+        preds = service.predict(imgs)  # 6 images > cap of 2, queue empty
+        assert len(preds) == 6
+        assert service.stats["shed_requests"] == 0
+    finally:
+        service.close()
