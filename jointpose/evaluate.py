@@ -233,7 +233,7 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--mrf-precision", choices=["high", "default"], default=None,
                         help="matmul precision inside the MRF message pass "
                              "(measured round 3: 'default' is 3.7x faster on "
-                             "chip at 0.4% max rel output err; this flag is "
+                             "chip at 0.4%% max rel output err; this flag is "
                              "the PDJ-parity gate for flipping inference)")
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel evaluation over this many devices "

@@ -11,7 +11,11 @@ host-resident path, and records peak host RSS.
 Expected: host RSS ~1.5 GB (uint8 splits: 3987*240*360*3 = 1.0 GB train
 + 0.26 GB test) instead of ~5 GB fp32.
 
-Usage: python results/flic_fullsize/make_and_train.py [root_dir]
+Usage: python results/flic_fullsize/make_and_train.py [root_dir] [platform]
+
+The optional second arg forces the JAX platform ('cpu' keeps the TPU
+free for concurrent measurement jobs; the smoke's subject is the HOST
+pipeline, not device speed).
 """
 
 import json
@@ -63,6 +67,10 @@ def synthesize_flic(root: str, n_train: int = 3987, n_test: int = 1016) -> None:
 
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flic_fullsize"
+    if len(sys.argv) > 2:
+        from jointpose.cli import apply_platform
+
+        apply_platform(sys.argv[2])
     if not os.path.exists(os.path.join(root, "examples.mat")):
         synthesize_flic(root)
 
