@@ -345,6 +345,13 @@ def _preset_flagship() -> Config:
             pool_mode="stride",
         ),
         mrf=MRFConfig(window=(17, 25), stride=2),
+        # Pallas shear warp is the flagship training default since the
+        # round-4 shear retrain hit full parity (0.9879 refine / 0.9899
+        # TTA full-split, results/flagship_shear_r4/ vs gather's
+        # 0.984/0.990) — the advertised training throughput (677 img/s
+        # measured) and the advertised accuracy now describe the SAME
+        # configuration.
+        augment=AugmentConfig(enabled=True, warp_impl="shear"),
         eval_flip_tta=False,
         decode_refine=True,
     )
@@ -362,6 +369,10 @@ def _preset_flagship_slim() -> Config:
     return cfg.replace(
         name="flagship_slim",
         detector=dataclasses.replace(cfg.detector, head_kernel=3),
+        # Slim's recorded baseline (0.980/0.987, results/flagship_slim_long/)
+        # was trained on the gather stream; it keeps gather until it, too,
+        # is retrained on shear.
+        augment=dataclasses.replace(cfg.augment, warp_impl="gather"),
     )
 
 
