@@ -130,6 +130,7 @@ def evaluate(
     max_batches: int | None = None,
     eval_step: Callable | None = None,
     mesh=None,
+    uint8_ingest: bool = False,
 ) -> dict:
     """Full-split evaluation; returns PDJ curves and headline numbers.
 
@@ -170,6 +171,13 @@ def evaluate(
             break
         idx = (np.arange(start, start + batch, dtype=np.int32)) % n
         got = dataset.get_batch(jnp.asarray(idx))
+        if uint8_ingest:
+            # Score the PRODUCTION input contract: clients send raw
+            # uint8 RGB (serve.py), which the model normalizes in-graph
+            # — so the eval sees exactly the 8-bit-quantized pixel
+            # values a deployment sees, not the float source frames.
+            got = dict(got)
+            got["image"] = jnp.round(got["image"] * 255.0).astype(jnp.uint8)
         real = min(batch, n - start)
         if start + batch > n:
             mask = (np.arange(start, start + batch) < n).astype(np.float32)
@@ -251,6 +259,11 @@ def main(argv: list[str] | None = None) -> None:
                              "ops/quant.py), calibrating activation scales "
                              "on N_CALIB training images (exclusive with "
                              "--mesh-*)")
+    parser.add_argument("--uint8-ingest", action="store_true",
+                        help="feed the split as raw uint8 RGB (the serving "
+                             "input contract; the model normalizes in-graph) "
+                             "— scores the exact numerics a production "
+                             "request sees")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -319,7 +332,8 @@ def main(argv: list[str] | None = None) -> None:
         )
         apply_fn = model.apply
     ev = evaluate(
-        params, ds, config, apply_fn, max_batches=args.max_batches, mesh=mesh
+        params, ds, config, apply_fn, max_batches=args.max_batches, mesh=mesh,
+        uint8_ingest=args.uint8_ingest,
     )
 
     print(f"checkpoint step {step}, {args.split} split, "
