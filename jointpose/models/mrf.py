@@ -65,6 +65,16 @@ def select_impl(config: MRFConfig) -> str:
     (paper presets: 45x67 = 3015 taps, where XLA's dense rewrite of the
     grouped conv costs ~24x the Fourier matmuls); the coarse stride>1
     grids and small test windows stay on the direct conv.
+
+    Direct-conv regime: 'auto' runs the plain XLA epilogue, not the
+    Pallas one — measured on the chip at BOTH production geometries,
+    XLA fuses the log/Σ into the conv's consumer cheaper than the
+    separate Pallas kernel + its pad/slice traffic (flagship coarse
+    30x40/(17,25): 1.101 vs 1.403 ms/batch-128; paper 60x80/(45,67):
+    32.1 vs 35.1 — results/kernels/{mrf_coarse_times,kernel_times}.json).
+    ``use_pallas`` still selects the FUSED Fourier tail in the fft
+    regime, where the Pallas kernel wins 9x (1.85 vs 16.8 ms);
+    ``impl='pallas'`` keeps the epilogue kernel reachable explicitly.
     """
     if config.impl != "auto":
         assert config.impl in ("xla", "pallas", "fft"), config.impl
@@ -72,7 +82,7 @@ def select_impl(config: MRFConfig) -> str:
     wh, ww = config.window
     if config.stride == 1 and wh * ww >= _FFT_MIN_TAPS:
         return "fft"
-    return "pallas" if config.use_pallas else "xla"
+    return "xla"
 
 
 class SpatialModel(nn.Module):

@@ -127,11 +127,14 @@ def test_fft_under_coarse_stride():
 
 
 def test_impl_auto_selection():
-    # Paper presets (stride-1 large window) -> fft; coarse + tiny -> direct.
+    # Paper presets (stride-1 large window) -> fft; coarse + tiny ->
+    # direct conv with the XLA epilogue (measured faster than the
+    # Pallas epilogue at both production geometries — select_impl doc).
     assert select_impl(MRFConfig(window=(45, 67), stride=1)) == "fft"
-    assert select_impl(MRFConfig(window=(17, 25), stride=2)) == "pallas"
-    assert select_impl(MRFConfig(window=(11, 15), stride=1)) == "pallas"
+    assert select_impl(MRFConfig(window=(17, 25), stride=2)) == "xla"
+    assert select_impl(MRFConfig(window=(11, 15), stride=1)) == "xla"
     assert select_impl(MRFConfig(window=(11, 15), use_pallas=False)) == "xla"
+    assert select_impl(MRFConfig(impl="pallas", window=(11, 15))) == "pallas"
     assert select_impl(MRFConfig(impl="xla", window=(45, 67))) == "xla"
     assert select_impl(MRFConfig(impl="fft", window=(11, 15))) == "fft"
 
