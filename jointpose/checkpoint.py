@@ -138,6 +138,11 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
+        # Run metadata is host-side JSON with a single logical writer;
+        # in multi-process runs only process 0 writes it (the orbax
+        # saves below stay collective across all processes).
+        if jax.process_index() != 0:
+            self._meta_written = True
         if self._config is not None and not self._meta_written:
             # (Over)write once per run: the run writing checkpoints is
             # the source of truth — keeping an older run's metadata

@@ -16,11 +16,21 @@ import jax
 
 
 class MetricLogger:
-    def __init__(self, workdir: str, use_tensorboard: bool = False):
+    def __init__(self, workdir: str, use_tensorboard: bool = False,
+                 enabled: bool = True):
+        # ``enabled=False`` makes every method a no-op: in multi-process
+        # runs only process 0 may own metrics.jsonl (two writers on a
+        # shared filesystem interleave/garble the JSONL stream), but the
+        # call sites stay process-agnostic.
+        self.enabled = enabled
+        self._file = None
+        self._tb = None
+        if not enabled:
+            self.path = None
+            return
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, "metrics.jsonl")
         self._file = open(self.path, "a", buffering=1)
-        self._tb = None
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -30,6 +40,8 @@ class MetricLogger:
                 pass
 
     def log(self, step: int, **metrics: Any) -> None:
+        if not self.enabled:
+            return
         record = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
             record[k] = float(v) if hasattr(v, "__float__") else v
@@ -44,7 +56,8 @@ class MetricLogger:
         print(f"[step {step}] {scalars}", flush=True)
 
     def close(self) -> None:
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self._tb is not None:
             self._tb.close()
 

@@ -135,6 +135,21 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def shard_state(state, mesh: Mesh):
+    """Place a whole TrainState on the (global) mesh.
+
+    The ``param_shardings`` rule keys on path names ('head_wide',
+    'kernel', ...), and optax's Adam moments mirror the params tree
+    path-for-path — so applying the same rule to the ENTIRE state tree
+    gives mu/nu the same TP shardings as their params and replicates
+    everything else (step, count, base_rng).  Multi-process runs need
+    this for every leaf, not just params: a restored/updated state with
+    locally-committed opt_state cannot enter a jit with global arrays.
+    """
+    rule_shardings = param_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, rule_shardings)
+
+
 def init_distributed() -> None:
     """Multi-host init over DCN (coordinator discovery via env vars).
 
@@ -153,4 +168,12 @@ def init_distributed() -> None:
         n, pid = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get("JAX_PROCESS_ID")
         if n is not None and pid is not None:
             kwargs = {"num_processes": int(n), "process_id": int(pid)}
+        # The shutdown barrier defaults to 300 s: processes skewed by
+        # more than that at exit (process 0 runs extra lead-only work —
+        # metrics, figures, metadata — and CI hosts can be one
+        # oversubscribed core) turn a clean exit into a barrier
+        # timeout that retroactively FAILS the finished run.
+        to = os.environ.get("JOINTPOSE_SHUTDOWN_TIMEOUT")
+        if to is not None:
+            kwargs["shutdown_timeout_seconds"] = int(to)
         jax.distributed.initialize(**kwargs)

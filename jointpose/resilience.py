@@ -62,7 +62,12 @@ class Heartbeat:
         if now - self._last < self.min_interval:
             return
         self._last = now
-        tmp = self.path + ".tmp"
+        # pid-unique tmp: in multi-process runs every process beats the
+        # same heartbeat file (latest writer wins; the content — "this
+        # run is alive at step s" — is equivalent), but a shared tmp
+        # name would let two concurrent writers tear each other's file
+        # before the atomic rename.
+        tmp = f"{self.path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump({"step": int(step), "time": now}, f)
         os.replace(tmp, self.path)

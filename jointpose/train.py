@@ -42,7 +42,7 @@ from jointpose.evaluate import evaluate
 from jointpose.losses import heatmap_loss, mrf_heatmap_loss
 from jointpose.models.mrf import priors_to_raw_kernels
 from jointpose.models.pose import PoseModel
-from jointpose.parallel.mesh import make_mesh, shard_batch, shard_params
+from jointpose.parallel.mesh import make_mesh, shard_batch, shard_state
 
 
 class TrainState(train_state.TrainState):
@@ -241,7 +241,14 @@ def init_mrf_from_priors(state: TrainState, priors: np.ndarray) -> TrainState:
     params = jax.tree_util.tree_map(lambda x: x, state.params)  # shallow copy
     sm = dict(params["spatial_model"])
     assert sm["raw_kernels"].shape == raw.shape, (sm["raw_kernels"].shape, raw.shape)
-    sm["raw_kernels"] = raw.astype(sm["raw_kernels"].dtype)
+    new = raw.astype(sm["raw_kernels"].dtype)
+    old_sharding = getattr(sm["raw_kernels"], "sharding", None)
+    if old_sharding is not None:
+        # Keep the replaced leaf on the old leaf's (global) sharding: in
+        # multi-process runs a locally-committed replacement mixed into a
+        # global-sharded param tree would fail at the next jitted step.
+        new = jax.device_put(new, old_sharding)
+    sm["raw_kernels"] = new
     params = dict(params)
     params["spatial_model"] = sm
     return state.replace(params=params)
@@ -275,7 +282,14 @@ def fit(
             f"batch_size {config.train.batch_size} must be divisible by the "
             f"mesh data axis ({data_axis}); set MeshConfig(data=...) explicitly"
         )
-    logger = MetricLogger(workdir)
+    # Multi-host: every process runs this loop SPMD over the global mesh
+    # (identical host-side index math — epoch_order is a pure fn of the
+    # seed — with XLA collectives doing the cross-process reductions);
+    # host-side artifacts with a single writer (metrics.jsonl, figures)
+    # belong to process 0 alone, while orbax saves stay collective.
+    is_lead = jax.process_index() == 0
+    multiprocess = jax.process_count() > 1
+    logger = MetricLogger(workdir, enabled=is_lead)
     ckpt = Checkpointer(
         f"{workdir}/{config.train.checkpoint_dir}",
         keep=config.train.keep_checkpoints,
@@ -295,7 +309,12 @@ def fit(
     )
     state = create_state(config, model, jax.random.PRNGKey(config.train.seed))
     with mesh:
-        state = state.replace(params=shard_params(state.params, mesh))
+        # The WHOLE state goes on the global mesh (params by the TP
+        # rule, opt_state moments alongside them, scalars replicated):
+        # restore() reuses these shardings as its template, and in
+        # multi-process runs a single locally-committed leaf would
+        # reject the jitted step.
+        state = shard_state(state, mesh)
 
     start_step = 0
     mrf_initialized = False
@@ -445,6 +464,11 @@ def fit(
             model.apply,
             max_batches=eval_max_batches,
             eval_step=eval_steps[stage_now],
+            # On a >1-device mesh the eval batches must carry the same
+            # global sharding as the params (mandatory multi-process —
+            # a locally-committed batch cannot enter a jit with global
+            # arrays; on one process it data-parallelizes the eval).
+            mesh=mesh if (multiprocess or data_axis > 1) else None,
         )
         # Record which graph produced the score: detector-stage evals run
         # the detector-only head (the MRF is uninitialized there), so
@@ -470,7 +494,7 @@ def fit(
             state = init_mrf_from_priors(state, priors)
             mrf_initialized = True
             heartbeat.beat(step)  # prior estimation blocks the loop too
-            if save_figures:
+            if save_figures and is_lead:
                 from jointpose.visualize import save_prior_grid
 
                 save_prior_grid(priors, f"{workdir}/figures/priors.png")
@@ -546,7 +570,10 @@ def fit(
             ckpt.save(step, state, metrics=final_eval if is_full_model else None)
             heartbeat.beat(step)  # the blocking save counts as liveness too
 
-    if final_eval and save_figures:
+    if final_eval and save_figures and is_lead and not multiprocess:
+        # (multi-process: the ad-hoc full-batch forward below runs on
+        # locally-committed arrays, which cannot meet the global params;
+        # figures are a debugging aid, not worth a sharded code path)
         from jointpose.visualize import save_heatmap_overlays, save_pdj_curves
 
         save_pdj_curves(final_eval, f"{workdir}/figures/pdj_curves.png")
