@@ -795,6 +795,17 @@ def _pallas_tail_kdft(xr, xi, a_re, a_im, t, h: int, precision):
     g, ph, b, ci = xr.shape
     kh, co = a_re.shape[1], a_re.shape[-1]
     prec = _round_prec(precision)
+    # Round-4 NEGATIVE RESULT (results/kernels/tail_staged_experiment
+    # .json): a "staged" variant — f-blocked pointwise at full (TB=64,
+    # CoT=128) MXU tiles parking R in VMEM scratch, then ONE K=Ph row
+    # inverse — measured 9.7 ms (FB=8) / 7.6 ms (FB=24) on the paper
+    # head vs the resident tail's 6.7, despite fixing both earlier
+    # kernels' MXU-utilization flaws on paper.  Per-grid-step overhead
+    # dominates at this problem size (~2.7 µs/step × 3600 steps), and
+    # every larger-tile shape that would amortize it (TB=128, or
+    # FB=Ph with the X block resident) either crashes the Mosaic
+    # compile helper or exceeds the 16 MiB scoped-VMEM budget.  The
+    # resident variant below remains the measured best.
     # Resident-K_f variant first: full-Ph inverse contraction (the
     # f-blocked kernel's K=FB=8 inverse matmul ran the MXU at ~6% and
     # dominated the measured tail time — round 3, results/frontier).
