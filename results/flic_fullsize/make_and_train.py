@@ -75,9 +75,37 @@ def main():
         synthesize_flic(root)
 
     import dataclasses
+    import subprocess
 
     from jointpose.configs import get_config
     from jointpose.train import fit
+
+    # The PIPELINE's own footprint, isolated: a child process that only
+    # parses examples.mat, decodes/resizes all 5003 JPEGs, and holds
+    # both uint8 splits.  (Measuring it inside the training process
+    # conflates it with XLA's host-side buffers — on platform=cpu the
+    # "device" arena alone is many GB and says nothing about the
+    # loader; round-4 finding.)
+    load_probe = subprocess.run(
+        [sys.executable, "-c", (
+            "import resource, sys, dataclasses\n"
+            "sys.path.insert(0, %r)\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from jointpose.configs import get_config\n"
+            "from jointpose.data.pipeline import make_dataset\n"
+            "cfg = dataclasses.replace(get_config('single_scale').data, "
+            "source='flic', flic_dir=%r)\n"
+            "train, test = make_dataset(cfg)\n"
+            "assert train.host_resident and test.host_resident\n"
+            "vmrss = [l for l in open('/proc/self/status') "
+            "if l.startswith('VmRSS')][0].split()[1]\n"
+            "print(train.size, test.size, "
+            "resource.getrusage(resource.RUSAGE_SELF).ru_maxrss, vmrss)\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), root)],
+        capture_output=True, text=True, check=True,
+    )
+    n_train, n_test, loader_rss_kb, loader_res_kb = load_probe.stdout.split()[-4:]
 
     config = get_config("single_scale")
     config = config.replace(
@@ -91,11 +119,18 @@ def main():
     result = fit(config, workdir=os.path.join(root, "run"), eval_max_batches=4)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     out = {
-        "train_split": 3987,
-        "test_split": 1016,
+        "train_split": int(n_train),
+        "test_split": int(n_test),
         "steps": 30,
         "seconds": round(time.time() - t0, 1),
+        "loader_only_peak_rss_gb": round(int(loader_rss_kb) / 1e6, 2),
+        "loader_only_resident_rss_gb": round(int(loader_res_kb) / 1e6, 2),
         "peak_host_rss_gb": round(rss_gb, 2),
+        "rss_note": "loader peak includes the transient np.stack copy "
+                    "(per-image list + stacked array both live); resident "
+                    "is the held uint8 splits (~1.3 GB vs ~5 GB fp32). "
+                    "peak_host_rss is the full training process incl. "
+                    "XLA host buffers (platform-dependent).",
         "final_loss": float(result.metrics.get("pdj_at_05_wrist_elbow", -1)),
     }
     print(json.dumps(out), flush=True)
