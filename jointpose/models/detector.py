@@ -64,8 +64,22 @@ def _pool2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _avg_pyramid(x: jnp.ndarray) -> jnp.ndarray:
-    """Half-resolution Gaussian-pyramid level (2x2 average pooling)."""
-    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+    """Half-resolution Gaussian-pyramid level (2x2 average pooling).
+
+    Written as a reshape-mean, not ``nn.avg_pool``: mathematically
+    identical for the even-dims non-overlapping case (guaranteed by the
+    Detector's divisibility check), but XLA fuses elementwise producers
+    into a plain reduce while ``reduce_window`` forces its input to
+    materialize — the avg_pool form cost 0.30 ms/batch-128 in the
+    round-4 flagship trace (a 59 MB normalize materialization at
+    detector.py:134 + an 83 MB window read at 366 GB/s) for an op whose
+    fused floor is ~0.06 ms.
+    """
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:  # SAME-padded fallback (never hit by presets)
+        return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.mean(x, axis=(2, 4), dtype=x.dtype)
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
