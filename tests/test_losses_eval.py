@@ -200,3 +200,45 @@ def test_mrf_mse_peak_normalized_space():
         float(heatmap_ce(good, targets["dist"], vis)),
         rtol=1e-6,
     )
+
+
+def test_evaluate_uint8_ingest_scores_the_serving_contract(tiny_config):
+    """--uint8-ingest (round 4, deployed-stack scoring): the split is
+    fed as raw uint8 RGB — the serve.py input contract, normalized
+    in-graph — and must score within quantization noise of the float
+    eval (the pixels differ by at most 1/510 per channel)."""
+    import jax
+
+    from jointpose.data.pipeline import make_dataset
+    from jointpose.evaluate import evaluate
+    from jointpose.models.pose import PoseModel
+
+    cfg = tiny_config.replace(mrf=None)
+    _, test_ds = make_dataset(cfg.data)
+    model = PoseModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *cfg.data.image_hw, 3)))
+    ev_f = evaluate(params, test_ds, cfg, model.apply)
+    ev_u8 = evaluate(params, test_ds, cfg, model.apply, uint8_ingest=True)
+    assert ev_u8["num_examples"] == test_ds.size
+    # An untrained net's PDJ is noisy, so compare the full curves with
+    # slack for borderline hits flipped by the 8-bit pixel rounding.
+    a = np.asarray(ev_f["pdj_curves"])
+    b = np.asarray(ev_u8["pdj_curves"])
+    assert np.max(np.abs(a - b)) <= 0.25, np.max(np.abs(a - b))
+
+
+def test_avg_pyramid_reshape_mean_matches_avg_pool():
+    """The round-4 reshape-mean pyramid (detector.py) is exactly
+    nn.avg_pool for the even-dims non-overlapping case every preset
+    guarantees."""
+    from flax import linen as nn
+
+    from jointpose.models.detector import _avg_pyramid
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 12, 16, 3).astype(np.float32)
+    )
+    want = nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+    got = _avg_pyramid(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
