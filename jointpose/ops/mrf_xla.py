@@ -23,10 +23,56 @@ same convention (tested against each other).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.lax as lax
 import jax.numpy as jnp
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _grouped_conv(p, kern, groups, precision, out_dtype):
+    return lax.conv_general_dilated(
+        p,
+        kern,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=out_dtype,
+    )
+
+
+# jax 0.9's conv transpose rule rejects the widened cotangent when
+# preferred_element_type differs from the operand dtype (fp32 cotangent
+# vs bf16 operands -> "requires arguments to have the same dtypes"), so
+# the fused fp32-out conv gets a custom VJP: the backward differentiates
+# the mathematically identical same-dtype conv + fp32 cast (the cast is
+# linear, so the linearization — and hence the gradients — are exactly
+# those of the unfused graph the rule would have produced).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grouped_conv_f32(p, kern, groups, precision):
+    return _grouped_conv(p, kern, groups, precision, jnp.float32)
+
+
+def _grouped_conv_f32_fwd(p, kern, groups, precision):
+    return _grouped_conv_f32(p, kern, groups, precision), (p, kern)
+
+
+def _grouped_conv_f32_bwd(groups, precision, res, g):
+    p, kern = res
+
+    def unfused(p_, kern_):
+        out = _grouped_conv(p_, kern_, groups, precision, None)
+        return out.astype(jnp.float32)
+
+    _, vjp = jax.vjp(unfused, p, kern)
+    return vjp(g)
+
+
+_grouped_conv_f32.defvjp(_grouped_conv_f32_fwd, _grouped_conv_f32_bwd)
 
 
 def pairwise_conv(
@@ -50,20 +96,16 @@ def pairwise_conv(
     # Grouped conv: out channel v*Ka + a uses input channel v and kernel
     # slice [..., 0, v*Ka + a]; reshaping (wh, ww, v, a) row-major gives
     # exactly that layout.
-    kern = kernels.reshape(wh, ww, 1, kv * ka)
-    resp = lax.conv_general_dilated(
-        p,
-        kern.astype(p.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_DIMNUMS,
-        feature_group_count=kv,
-        precision=precision,
-        # out_dtype=fp32 lets the MXU's fp32 accumulator flow straight
-        # into the log epilogue — the separate convert_element_type op
-        # cost a measured 0.185 ms/batch-128 in the flagship graph.
-        preferred_element_type=out_dtype,
-    )
+    kern = kernels.reshape(wh, ww, 1, kv * ka).astype(p.dtype)
+    # out_dtype=fp32 lets the MXU's fp32 accumulator flow straight into
+    # the log epilogue — the separate convert_element_type op cost a
+    # measured 0.185 ms/batch-128 in the flagship graph.  The widening
+    # path goes through _grouped_conv_f32 (custom VJP) so bf16 training
+    # differentiates correctly under jax 0.9's conv transpose rule.
+    if out_dtype == jnp.float32 and p.dtype != jnp.float32:
+        resp = _grouped_conv_f32(p, kern, kv, precision)
+    else:
+        resp = _grouped_conv(p, kern, kv, precision, out_dtype)
     b, h, w, _ = resp.shape
     return resp.reshape(b, h, w, kv, ka)
 

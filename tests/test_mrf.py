@@ -178,3 +178,43 @@ def test_mrf_gradients_are_finite_at_sparse_unaries():
 
     g = np.asarray(jax.grad(loss)(kernels))
     assert np.isfinite(g).all()
+
+
+def test_bf16_unaries_differentiate_and_match_unfused_grads():
+    # Regression: jax 0.9's conv transpose rule rejects the fp32 cotangent
+    # against bf16 operands when the forward used preferred_element_type
+    # (TypeError "requires arguments to have the same dtypes") — the exact
+    # crash that killed a bf16 joint-stage training run.  pairwise_conv's
+    # widening path carries a custom VJP; its grads must equal those of
+    # the unfused same-dtype conv + fp32 cast graph.
+    import jax.lax as lax
+
+    p16 = _rand_heatmaps().astype(jnp.bfloat16)
+    kernels = _rand_kernels()
+    biases = jnp.full((K, K), 1e-2, jnp.float32)
+
+    def loss(kern):
+        return jnp.sum(mrf_message_pass_xla(p16, kern, biases) ** 2)
+
+    g = jax.grad(loss)(kernels)  # must not raise
+    assert g.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g)).all()
+
+    def loss_unfused(kern):
+        kf = kern.reshape(*WIN, 1, K * K).astype(p16.dtype)
+        resp = lax.conv_general_dilated(
+            p16, kf, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=K,
+        ).astype(jnp.float32)
+        resp = resp.reshape(*p16.shape[:3], K, K) + biases
+        logs = jnp.log(jnp.maximum(resp, 1e-6))
+        return jnp.sum(jnp.sum(logs, axis=-2) ** 2)
+
+    g_ref = jax.grad(loss_unfused)(kernels)
+    # Identical linearization; only the fused forward's fp32 accumulator
+    # (vs bf16-rounded primal) can move the evaluation point.
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=0.05, atol=0.05)
+
+    gp = jax.grad(lambda q: jnp.sum(mrf_message_pass_xla(q, kernels, biases)))(p16)
+    assert gp.dtype == jnp.bfloat16
