@@ -369,10 +369,13 @@ def _preset_flagship_slim() -> Config:
     return cfg.replace(
         name="flagship_slim",
         detector=dataclasses.replace(cfg.detector, head_kernel=3),
-        # Slim's recorded baseline (0.980/0.987, results/flagship_slim_long/)
-        # was trained on the gather stream; it keeps gather until it, too,
-        # is retrained on shear.
-        augment=dataclasses.replace(cfg.augment, warp_impl="gather"),
+        # Like the flagship, slim trains on the Pallas shear stream: the
+        # round-4 8000+8000-step retrain on shear scores 0.9801 refine /
+        # 0.9852 TTA full-split (results/flagship_slim_shear_r4/) vs the
+        # gather stream's 0.980/0.987 (results/flagship_slim_long/) —
+        # stream parity within noise, so slim's measured training speed
+        # and its recorded accuracy describe the same configuration.
+        # (warp_impl='shear' is inherited from the flagship preset.)
     )
 
 
