@@ -425,7 +425,7 @@ def _tail_tiles_resident(
     ph: int, h: int, b: int, ci: int, co: int, itemsize: int, kh: int
 ) -> list[tuple[int, int]]:
     """VMEM-feasible (TB, CoT) candidates for the resident-K_f tail,
-    largest batch tile first (empty when none fit).
+    fewest grid steps first (empty when none fit).
 
     The f-blocked tail's inverse row DFT contracts only FB row bins per
     grid step — FB=8 at the paper head, i.e. a K=8 matmul that leaves
@@ -436,10 +436,13 @@ def _tail_tiles_resident(
     the innermost grid dim, with the (Ph, Ci, CoT) K_f block built once
     per (g, co-tile) into VMEM scratch and reused across batch blocks.
     """
-    # Larger CoT first: the x-spectrum is streamed once per co-tile, so
-    # CoT=256 halves that re-read relative to 128 (944 -> 472 MB at the
-    # paper head).  TB falls back toward 8 to keep the bigger K_f
-    # scratch + blocks inside the scoped-vmem budget.
+    # Preference = fewest grid steps, then largest batch tile: the
+    # round-4b sweep (results/kernels/tail_sweep.json) measured time
+    # tracking step count within this kernel family (TB=32: 800 steps,
+    # 5.85 ms; TB=16: 1600, 6.80; TB=8: 3200, 9.41 at the paper head),
+    # and larger TB also lifts the pointwise matmul's M-utilization.
+    # Larger CoT still halves the x-spectrum re-read (944 -> 472 MB at
+    # the paper head) — it enters through the step count.
     cots = [v for v in (256, 128) if co % v == 0] or [co]
     out = []
     for cot in cots:
@@ -456,12 +459,19 @@ def _tail_tiles_resident(
                 # result per (chunk, Ci*CoT) slab (see the kernel).
                 + 3 * 4 * _KF_BUILD_CHUNK * ci * cot
             )
-            # Budget anchored to Mosaic's 16 MiB scoped-vmem limit: the
-            # un-chunked build overshot it by exactly the unmodeled fp32
-            # (Ph, Ci*CoT) slabs (17.34 M vs 16 M, round-3 probe), so
-            # the model carries every term and keeps ~2 MiB headroom.
-            if 2 * blocks + scratch + temps <= 14 * 2**20:
+            # Budget re-anchored to Mosaic probe outcomes (round-4b
+            # sweep, results/kernels/tail_sweep.json): at the paper
+            # head (TB=32, CoT=128) models 17.3 MiB here yet COMPILES
+            # and measures 5.85 ms vs TB=16's 6.80 (fewer, bigger grid
+            # steps — step overhead dominates at this size), while
+            # (TB=64, CoT=128) models 27.1 MiB and fails.  The model's
+            # double-buffer term overcharges blocks Mosaic schedules
+            # with overlapping lifetimes, so the cut sits between the
+            # measured compile/fail points; _tail_compile_ok probes
+            # (disk-cached) remain the final guard per geometry.
+            if 2 * blocks + scratch + temps <= 18 * 2**20:
                 out.append((tb, cot))
+    out.sort(key=lambda tc: ((co // tc[1]) * (b // tc[0]), -tc[0]))
     return out
 
 

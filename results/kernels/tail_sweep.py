@@ -55,11 +55,16 @@ def main():
                 rows.append({"tb": tb, "cot": cot, "ok": False})
                 print(json.dumps(rows[-1]), flush=True)
                 continue
-            fn = jax.jit(functools.partial(
+            call = functools.partial(
                 fc._tail_call_kdft_resident, h=h, tb=tb, cot=cot, prec=prec
-            ))
+            )
+
+            def bench_fn(*a):
+                return call(*a)
+
             t = measure_device_time(
-                fn, xr, xi, ar, ai, grr, gri, irr, iri, iters=6, warmup=2
+                jax.jit(bench_fn), xr, xi, ar, ai, grr, gri, irr, iri,
+                iters=6, warmup=2, program_name="bench_fn",
             )
             ms = None if t is None else round(t.median_run_s * 1e3, 3)
             steps = g * (co // cot) * (b // tb)

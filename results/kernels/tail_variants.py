@@ -69,9 +69,9 @@ def _copy_kernel(xr_ref, xi_ref, ar_ref, ai_ref, t_ref):
     t_ref[:] = jnp.full_like(t_ref, s)
 
 
-def dma0(i, *, tb=16, cot=128, h=60):
-    g, ph = i["g"], i["ph"]
-    b, ci, co, kh = GEOM["b"], GEOM["ci"], GEOM["co"], GEOM["kh"]
+def dma0(xr, xi, ar, ai, *, tb=16, cot=128, h=60):
+    g, ph, b, ci = xr.shape
+    kh, co = ar.shape[1], ar.shape[-1]
     grid = (g, co // cot, b // tb)
     return pl.pallas_call(
         _copy_kernel,
@@ -90,9 +90,9 @@ def dma0(i, *, tb=16, cot=128, h=60):
             pl.BlockSpec((h, 2, 1, tb, cot), lambda gg, o, ib: (0, 0, gg, ib, o),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), i["xr"].dtype)],
+        out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), xr.dtype)],
         interpret=fc._use_interpret(),
-    )(i["xr"], i["xi"], i["ar"], i["ai"])[0]
+    )(xr, xi, ar, ai)[0]
 
 
 # -------------------------------------------------------------- merged
@@ -148,11 +148,11 @@ def _merged_kernel(x_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
     t_ref[:, 1, 0] = tim.reshape(h, tb, cot).astype(t_ref.dtype)
 
 
-def merged(i, *, tb=16, cot=128, h=60, prec=None):
-    g, ph = i["g"], i["ph"]
-    b, ci, co, kh = GEOM["b"], GEOM["ci"], GEOM["co"], GEOM["kh"]
+def merged(x, ar, ai, grr, gri, irr, iri, *, tb=16, cot=128, h=60, prec=None):
+    g, ph, b, ci2 = x.shape
+    ci = ci2 // 2
+    kh, co = ar.shape[1], ar.shape[-1]
     prec = fc._round_prec(prec)
-    x = jnp.concatenate([i["xr"], i["xi"]], axis=-1)  # (g, ph, b, 2ci)
     grid = (g, co // cot, b // tb)
     return pl.pallas_call(
         functools.partial(_merged_kernel, precision=prec, ci=ci),
@@ -180,7 +180,7 @@ def merged(i, *, tb=16, cot=128, h=60, prec=None):
         out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), x.dtype)],
         scratch_shapes=[pltpu.VMEM((ph, ci, cot), x.dtype)] * 2,
         interpret=fc._use_interpret(),
-    )(x, i["ar"], i["ai"], i["grr"], i["gri"], i["irr"], i["iri"])[0]
+    )(x, ar, ai, grr, gri, irr, iri)[0]
 
 
 # ---------------------------------------------------------------- bmaj
@@ -237,9 +237,10 @@ def _bmaj_kernel(x_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
     t_ref[:, 1, 0] = tim.reshape(h, tb, cot).astype(t_ref.dtype)
 
 
-def bmaj(xbm, i, *, tb=16, cot=128, h=60, prec=None):
-    g, ph = i["g"], i["ph"]
-    b, ci, co, kh = GEOM["b"], GEOM["ci"], GEOM["co"], GEOM["kh"]
+def bmaj(xbm, ar, ai, grr, gri, irr, iri, *, tb=16, cot=128, h=60, prec=None):
+    g, b, ph, ci2 = xbm.shape
+    ci = ci2 // 2
+    kh, co = ar.shape[1], ar.shape[-1]
     prec = fc._round_prec(prec)
     grid = (g, co // cot, b // tb)
     return pl.pallas_call(
@@ -268,7 +269,7 @@ def bmaj(xbm, i, *, tb=16, cot=128, h=60, prec=None):
         out_shape=[jax.ShapeDtypeStruct((h, 2, g, b, co), xbm.dtype)],
         scratch_shapes=[pltpu.VMEM((ph, ci, cot), xbm.dtype)] * 2,
         interpret=fc._use_interpret(),
-    )(xbm, i["ar"], i["ai"], i["grr"], i["gri"], i["irr"], i["iri"])[0]
+    )(xbm, ar, ai, grr, gri, irr, iri)[0]
 
 
 def check_cpu():
@@ -281,11 +282,13 @@ def check_cpu():
     ref = fc._tail_call_kdft_resident(
         i["xr"], i["xi"], i["ar"], i["ai"], i["grr"], i["gri"],
         i["irr"], i["iri"], h=h, tb=8, cot=128, prec=prec)
-    m = merged(i, tb=8, cot=128, h=h)
+    x_merged = jnp.concatenate([i["xr"], i["xi"]], axis=-1)
+    rest = (i["ar"], i["ai"], i["grr"], i["gri"], i["irr"], i["iri"])
+    m = merged(x_merged, *rest, tb=8, cot=128, h=h)
     xbm = jnp.concatenate(
         [i["xr"].transpose(0, 2, 1, 3), i["xi"].transpose(0, 2, 1, 3)], axis=-1)
-    bm = bmaj(xbm, i, tb=8, cot=128, h=h)
-    ct = contig(i, tb=8, cot=128, h=h)
+    bm = bmaj(xbm, *rest, tb=8, cot=128, h=h)
+    ct = contig(x_merged, *rest, tb=8, cot=128, h=h)
     # (no, g, b, h, 2, cot) -> (h, 2, g, b, no*cot)
     ct = ct.transpose(3, 4, 1, 2, 0, 5).reshape(ref.shape)
     for name, got in (("merged", m), ("bmaj", bm), ("contig", ct)):
@@ -357,11 +360,11 @@ def _contig_kernel(x_ref, ar_ref, ai_ref, grr_ref, gri_ref, irr_ref, iri_ref,
     t_ref[0, 0, :, :, 1] = tim.astype(t_ref.dtype)
 
 
-def contig(i, *, tb=16, cot=128, h=60, prec=None):
-    g, ph = i["g"], i["ph"]
-    b, ci, co, kh = GEOM["b"], GEOM["ci"], GEOM["co"], GEOM["kh"]
+def contig(x, ar, ai, grr, gri, irr, iri, *, tb=16, cot=128, h=60, prec=None):
+    g, ph, b, ci2 = x.shape
+    ci = ci2 // 2
+    kh, co = ar.shape[1], ar.shape[-1]
     prec = fc._round_prec(prec)
-    x = jnp.concatenate([i["xr"], i["xi"]], axis=-1)
     grid = (g, co // cot, b // tb)
     return pl.pallas_call(
         functools.partial(_contig_kernel, precision=prec, ci=ci),
@@ -390,7 +393,7 @@ def contig(i, *, tb=16, cot=128, h=60, prec=None):
         out_shape=[jax.ShapeDtypeStruct((co // cot, g, b, h, 2, cot), x.dtype)],
         scratch_shapes=[pltpu.VMEM((ph, ci, cot), x.dtype)] * 2,
         interpret=fc._use_interpret(),
-    )(x, i["ar"], i["ai"], i["grr"], i["gri"], i["irr"], i["iri"])[0]
+    )(x, ar, ai, grr, gri, irr, iri)[0]
 
 
 def main():
@@ -399,43 +402,58 @@ def main():
     rows = {}
 
     def time_it(name, fn, *args):
-        t = measure_device_time(jax.jit(fn), *args, iters=6, warmup=2)
+        def bench_fn(*a):
+            return fn(*a)
+
+        try:
+            t = measure_device_time(jax.jit(bench_fn), *args, iters=6,
+                                    warmup=2, program_name="bench_fn")
+        except Exception as e:  # compile crash etc. — record, keep going
+            rows[name] = f"FAILED: {type(e).__name__}: {str(e)[:200]}"
+            print(f"{name}: {rows[name]}", flush=True)
+            return
         ms = None if t is None else round(t.median_run_s * 1e3, 3)
         rows[name] = ms
         print(f"{name}: {ms} ms", flush=True)
 
-    # Production baseline (library code path).
+    # Production baseline (library code path) at both batch tiles.
     prec = fc._round_prec(None)
-    time_it("production_resident_tb16_cot128",
-            functools.partial(fc._tail_call_kdft_resident, h=h, tb=16,
-                              cot=128, prec=prec),
-            i["xr"], i["xi"], i["ar"], i["ai"], i["grr"], i["gri"],
-            i["irr"], i["iri"])
+    for tb in (16, 32):
+        time_it(f"production_resident_tb{tb}_cot128",
+                functools.partial(fc._tail_call_kdft_resident, h=h, tb=tb,
+                                  cot=128, prec=prec),
+                i["xr"], i["xi"], i["ar"], i["ai"], i["grr"], i["gri"],
+                i["irr"], i["iri"])
 
     # Pure-DMA cost of the same access pattern.
-    time_it("dma0_copy_same_specs", functools.partial(dma0, tb=16, cot=128, h=h), i)
+    time_it("dma0_copy_same_specs", functools.partial(dma0, tb=16, cot=128, h=h),
+            i["xr"], i["xi"], i["ar"], i["ai"])
 
-    # Merged re/im X operand.
-    time_it("merged_reim_x", functools.partial(merged, tb=16, cot=128, h=h), i)
+    x_merged = jax.block_until_ready(
+        jnp.concatenate([i["xr"], i["xi"]], axis=-1))
 
-    # Batch-major X: kernel alone (pre-transposed input)...
+    # Merged re/im X operand, both batch tiles.
+    for tb in (16, 32):
+        time_it(f"merged_reim_x_tb{tb}",
+                functools.partial(merged, tb=tb, cot=128, h=h),
+                x_merged, i["ar"], i["ai"], i["grr"], i["gri"],
+                i["irr"], i["iri"])
+
+    # Contiguous-output layout (in-kernel relayout cost included).
+    for tb in (16, 32):
+        time_it(f"contig_out_tb{tb}", functools.partial(contig, tb=tb, cot=128, h=h),
+                x_merged, i["ar"], i["ai"], i["grr"], i["gri"],
+                i["irr"], i["iri"])
+
+    # Batch-major X last: its block shape crashed the Mosaic compile
+    # helper once (see tail_variants.json history) — keep it from
+    # blocking the other measurements.
     xbm = jnp.concatenate(
         [i["xr"].transpose(0, 2, 1, 3), i["xi"].transpose(0, 2, 1, 3)], axis=-1
     )
     xbm = jax.block_until_ready(xbm)
-    time_it("bmaj_kernel_only", functools.partial(bmaj, tb=16, cot=128, h=h, prec=None), xbm, i)
-
-    # ... and including the XLA transpose that would produce it.
-    def bmaj_with_transpose(xr, xi):
-        xbm_ = jnp.concatenate(
-            [xr.transpose(0, 2, 1, 3), xi.transpose(0, 2, 1, 3)], axis=-1
-        )
-        return bmaj(xbm_, i, tb=16, cot=128, h=h, prec=None)
-
-    time_it("bmaj_incl_transpose", bmaj_with_transpose, i["xr"], i["xi"])
-
-    # Contiguous-output layout (in-kernel relayout cost included).
-    time_it("contig_out", functools.partial(contig, tb=16, cot=128, h=h), i)
+    time_it("bmaj_kernel_only", functools.partial(bmaj, tb=16, cot=128, h=h),
+            xbm, i["ar"], i["ai"], i["grr"], i["gri"], i["irr"], i["iri"])
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "tail_variants.json"), "w") as f:
