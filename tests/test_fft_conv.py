@@ -216,3 +216,21 @@ def test_resident_tail_matches_fblocked_tail():
     np.testing.assert_allclose(
         np.asarray(resident), np.asarray(fblocked), atol=2e-5 * scale
     )
+
+
+def test_tail_tiles_resident_ordering():
+    """Candidates order by grid-step count then larger batch tile — the
+    round-4b sweep measured time tracking step count in this family
+    (results/kernels/tail_sweep.json: TB=32 5.85 ms / TB=16 6.80 /
+    TB=8 9.41 at the paper head)."""
+    from jointpose.ops.fft_conv import _tail_tiles_resident
+
+    # Paper-head geometry: (32, 128) must lead (it measured fastest and
+    # compiles despite modeling over the old 14 MiB budget).
+    cands = _tail_tiles_resident(72, 60, 128, 128, 512, 2, 9)
+    assert cands[0] == (32, 128), cands
+    co = 512
+    steps = [(co // cot) * (128 // tb) for tb, cot in cands]
+    assert steps == sorted(steps), cands
+    # The measured compile-fail point stays excluded.
+    assert (64, 128) not in cands and (128, 128) not in cands, cands
