@@ -60,22 +60,16 @@ def resolve_head_conv_impl(
 
 
 def _pool2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/stride-2 trunk maxpool as a reshape-max (see _avg_pyramid).
-
-    Mathematically identical to ``nn.max_pool`` for even spatial dims
-    (non-overlapping windows; SAME padding never pads): same values,
-    no parameters, checkpoints unaffected.  The reduce_window form
-    forced the producing conv's full-resolution output to materialize —
-    3.7 ms/batch-128 and 2.6 GB of the paper topology's round-4b trace
-    across the two trunk pools (results/kernels/tail_variants.json era,
-    /tmp trace in results/frontier history) — where a plain multi-axis
-    max can fuse with its producer/consumer.
-    """
-    b, h, w, c = x.shape
-    if h % 2 or w % 2:  # SAME-padded fallback (never hit by presets)
-        return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.max(x, axis=(2, 4))
+    # Round-4b NEGATIVE RESULT: rewriting this as the reshape-max
+    # analog of _avg_pyramid (exact for the even-dims non-overlapping
+    # case) measured ~1% SLOWER on every maxpool preset (mrf row
+    # 35.77 -> 36.05 ms/batch-128; flagship bit-identical across runs,
+    # so the delta is real).  Unlike the pyramid's avg case, the pool
+    # cannot fuse into the producing conv custom-call either way, and
+    # XLA's reduce_window emission already reads at ~714 GB/s — the
+    # reshape form only changed the fusion shape for the worse.  Keep
+    # reduce_window.
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
 
 
 def _avg_pyramid(x: jnp.ndarray) -> jnp.ndarray:

@@ -95,14 +95,16 @@ def main() -> None:
             "traffic; the maxpool trunk IS the letter-faithful topology "
             "(the flagship's stride-conv trunk removes this traffic and "
             "is the production answer).",
-        "head_tail": "the fused Fourier tail (6.7-6.8 ms) runs at 55 "
-            "TFLOP/s / 272 GB/s - above its per-op floor, and three "
-            "engineered variants (f-blocked, resident, staged - "
-            "results/kernels/tail_staged_experiment.json) measured 10.7 / "
-            "6.7 / 7.6 ms: per-grid-step overhead dominates and every "
-            "larger-tile shape crashes the Mosaic compile helper or "
-            "exceeds the 16 MiB scoped-VMEM budget, so 6.7 ms is the "
-            "best KNOWN-ACHIEVABLE, not the physical floor.",
+        "head_tail": "the fused Fourier tail now runs the (TB=32, "
+            "CoT=128) resident tiling (5.85 ms, was 6.8 at TB=16): the "
+            "round-4b sweep (results/kernels/tail_sweep.json) found the "
+            "old VMEM pre-filter - not Mosaic - was the blocker, and "
+            "time tracks grid-step count (TB=32: 800 steps / 5.85 ms, "
+            "TB=16: 1600 / 6.80, TB=8: 3200 / 9.41).  The next tile up "
+            "(TB=64) fails the Mosaic compile; layout variants (merged "
+            "re/im, contiguous-out, batch-major X - results/kernels/"
+            "tail_variants.json) measured neutral-to-worse, so 5.85 ms "
+            "is the best KNOWN-ACHIEVABLE, not the physical floor.",
         "head_spectra": "forward/inverse DFT einsum fusions measure "
             "626-714 GB/s = 76-87% of HBM peak on their spectrum "
             "streams: near their floors.",

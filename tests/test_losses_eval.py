@@ -243,25 +243,3 @@ def test_avg_pyramid_reshape_mean_matches_avg_pool():
     got = _avg_pyramid(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
-
-def test_pool2x2_reshape_max_matches_max_pool():
-    """The round-4b reshape-max trunk pool (detector.py) is exactly
-    nn.max_pool for the even-dims non-overlapping case every preset
-    guarantees — bitwise, since max has no accumulation order."""
-    from flax import linen as nn
-
-    from jointpose.models.detector import _pool2x2
-
-    x = jnp.asarray(
-        np.random.RandomState(1).rand(2, 12, 16, 3).astype(np.float32)
-    )
-    want = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
-    got = _pool2x2(x)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    # Odd dims fall back to nn.max_pool itself.
-    xo = x[:, :11, :15]
-    np.testing.assert_array_equal(
-        np.asarray(_pool2x2(xo)),
-        np.asarray(nn.max_pool(xo, window_shape=(2, 2), strides=(2, 2),
-                               padding="SAME")),
-    )
