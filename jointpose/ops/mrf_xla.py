@@ -49,62 +49,36 @@ def _grouped_conv(p, kern, groups, precision, out_dtype):
 # preferred_element_type differs from the operand dtype (fp32 cotangent
 # vs bf16 operands -> "requires arguments to have the same dtypes"), so
 # the fused fp32-out conv gets a custom VJP.  The backward is also
-# hand-written where it pays (round-4b): XLA dense-rewrites the FORWARD
-# grouped conv onto the MXU (34 TFLOP/s traced on the flagship's coarse
-# pass) but lowers autodiff's grouped transpose convs without that
-# rewrite — 0.42 TFLOP/s, 92 ms of the 498 ms flagship train dispatch
-# (results/train_throughput/train_ops_flagship.json).  Here:
-#   dL/dp — a SAME grouped conv of the cotangent against the spatially
-#     flipped, (v, a)-transposed kernels: the exact same op class as the
-#     forward, so it gets the same dense rewrite.
-#   dL/dk — window patches of p (lax.conv_general_dilated_patches) and
-#     ONE dense (Kv·taps, BHW) @ (BHW, Kv·Ka) matmul whose v-diagonal
-#     blocks are the gradient (the off-diagonal (v, v') cross products
-#     are computed and discarded — a Kv× FLOP overcharge that is still
-#     orders cheaper than the unrewritten grouped conv).  Gated by
-#     patch size: the stride-1 paper window (45x67 taps over the whole
-#     map) would materialize GBs, so big geometries keep autodiff's
-#     conv (they train through the Fourier pass anyway).
-_DK_PATCHES_LIMIT = 512 * 2**20
-
-
-def _bwd_dp(g, kern, groups, precision, out_dtype):
-    wh, ww, one, vo = kern.shape
+# hand-written (round-4b): XLA dense-rewrites the FORWARD grouped conv
+# onto the MXU (34 TFLOP/s traced on the flagship's coarse pass) but
+# lowers autodiff's GROUPED transpose convs without that rewrite —
+# 0.42 TFLOP/s, 92 ms of the 498 ms flagship train dispatch
+# (results/train_throughput/train_ops_flagship.json).  The fix:
+# differentiate through the ZERO-EMBEDDED DENSE-EQUIVALENT conv — the
+# exact form XLA's forward rewrite builds — so both cotangent convs go
+# through XLA's efficient dense conv transposes:
+#
+#   K_dense[dy, dx, v, v'·Ka + a] = k[dy, dx, v, a] · δ(v, v')
+#   conv_dense(p, K_dense) == conv_grouped(p, k)   (zeros add exactly)
+#   dL/dp    = vjp_dense's lhs cotangent            (exact)
+#   dL/dk    = diag_v blocks of vjp_dense's K_dense cotangent
+#
+# The Kv× FLOP overcharge of the dense form is the same one the
+# forward already pays for its MXU win.  Two earlier hand-written
+# variants measured WORSE and were replaced by this one: a grouped
+# dL/dp conv (XLA does not dense-rewrite the in-per-group=Ka form;
+# 0.56 TFLOP/s) and a conv_general_dilated_patches + dense-dot dL/dk
+# (the patches op itself dense-rewrote into a 9,351 GFLOP conv at 28%
+# MXU plus 26 GB of fp32 patch traffic — 166 ms/dispatch, measured
+# 2026-08-19).
+def _dense_embed(kern, groups):
+    wh, ww, _, vo = kern.shape
     ka = vo // groups
     k4 = kern.reshape(wh, ww, groups, ka)
-    kt = jnp.flip(k4, axis=(0, 1)).transpose(0, 1, 3, 2)  # (wh,ww,Ka,Kv)
-    return lax.conv_general_dilated(
-        g.astype(kern.dtype),
-        kt,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_DIMNUMS,
-        feature_group_count=groups,
-        precision=precision,
-    ).astype(out_dtype)
-
-
-def _bwd_dk(p, g, kern_shape, groups, precision, out_dtype):
-    wh, ww, _, vo = kern_shape
-    ka = vo // groups
-    b, h, w, kv = p.shape
-    taps = wh * ww
-    # (B, H, W, Kv*taps): conv_general_dilated_patches orders the
-    # feature dim channel-major (channel v's taps are contiguous),
-    # matching the reshape below — pinned by test_mrf.py's grad parity.
-    patches = lax.conv_general_dilated_patches(
-        p, filter_shape=(wh, ww), window_strides=(1, 1), padding="SAME",
-        dimension_numbers=_DIMNUMS,
-    )
-    lhs = patches.reshape(b * h * w, kv * taps)
-    rhs = g.astype(p.dtype).reshape(b * h * w, vo)
-    full = lax.dot_general(
-        lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )  # (Kv*taps, Kv*Ka)
-    d = full.reshape(kv, taps, kv, ka)
-    dk = d[jnp.arange(kv), :, jnp.arange(kv), :]  # (Kv, taps, Ka)
-    return dk.transpose(1, 0, 2).reshape(wh, ww, 1, kv * ka).astype(out_dtype)
+    eye = jnp.eye(groups, dtype=kern.dtype)
+    # (wh, ww, v, v', a): k4[..., v, a] on the v == v' diagonal.
+    kd = k4[:, :, :, None, :] * eye[None, None, :, :, None]
+    return kd.reshape(wh, ww, groups, vo)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -119,25 +93,23 @@ def _grouped_conv_f32_fwd(p, kern, groups, precision):
 def _grouped_conv_f32_bwd(groups, precision, res, g):
     p, kern = res
     wh, ww, _, vo = kern.shape
-    patch_bytes = p.size * wh * ww * p.dtype.itemsize
-    # The flip trick for dL/dp assumes SAME padding is symmetric, which
-    # holds exactly for odd windows (all MRF presets; priors are
-    # centered) — even windows take the autodiff fallback.
-    if wh % 2 and ww % 2 and patch_bytes <= _DK_PATCHES_LIMIT:
-        return (
-            _bwd_dp(g, kern, groups, precision, p.dtype),
-            _bwd_dk(p, g, kern.shape, groups, precision, kern.dtype),
-        )
+    ka = vo // groups
 
-    # Large geometries: autodiff through the mathematically identical
-    # same-dtype conv + fp32 cast (the cast is linear, so these are
-    # exactly the gradients the transpose rule would have produced).
-    def unfused(p_, kern_):
-        out = _grouped_conv(p_, kern_, groups, precision, None)
+    def dense(p_, kd_):
+        out = lax.conv_general_dilated(
+            p_, kd_, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=_DIMNUMS, precision=precision,
+        )
         return out.astype(jnp.float32)
 
-    _, vjp = jax.vjp(unfused, p, kern)
-    return vjp(g)
+    _, vjp = jax.vjp(dense, p, _dense_embed(kern, groups))
+    dp, dkd = vjp(g)
+    # Keep only the v == v' diagonal of the dense-kernel cotangent (the
+    # off-diagonal entries are gradients w.r.t. the structural zeros).
+    d5 = dkd.reshape(wh, ww, groups, groups, ka)
+    # jnp.diagonal appends the diagonal axis last: (wh, ww, Ka, Kv).
+    dk = jnp.diagonal(d5, axis1=2, axis2=3).transpose(0, 1, 3, 2)
+    return dp, dk.reshape(wh, ww, 1, vo).astype(kern.dtype)
 
 
 _grouped_conv_f32.defvjp(_grouped_conv_f32_fwd, _grouped_conv_f32_bwd)

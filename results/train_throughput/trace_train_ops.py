@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jointpose.configs import get_config
 from jointpose.data.pipeline import make_dataset
@@ -30,13 +31,39 @@ HBM = 819e9
 
 
 def main():
-    preset = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    args = [a for a in sys.argv[1:] if a != "--materialized"]
+    materialized = "--materialized" in sys.argv
+    preset = args[0] if args else "flagship"
     config = get_config(preset)
     k = 10
     train_ds, _ = make_dataset(config.data)
     state = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
     b = config.train.batch_size
-    step_fn = make_train_multistep(config, "joint", train_ds.get_batch, k)
+    batch_src = train_ds.get_batch
+    if materialized:
+        # Same pre-rendered uint8 split as measure_train.py's
+        # materialized rows (production data semantics).
+        n = 512
+        ims, jts, vss = [], [], []
+        for i0 in range(0, n, 64):
+            bd = train_ds.get_batch(jnp.arange(i0, i0 + 64, dtype=jnp.int32))
+            ims.append(np.asarray(bd["image"]))
+            jts.append(np.asarray(bd["joints"]))
+            vss.append(np.asarray(bd["visible"]))
+        image_u8 = jnp.asarray(
+            (np.concatenate(ims) * 255.0).round().astype(np.uint8))
+        joints_d = jnp.asarray(np.concatenate(jts))
+        vis_d = jnp.asarray(np.concatenate(vss))
+
+        def batch_src(indices):
+            i = indices % n
+            return {
+                "image": image_u8[i].astype(jnp.float32) / 255.0,
+                "joints": joints_d[i],
+                "visible": vis_d[i],
+            }
+
+    step_fn = make_train_multistep(config, "joint", batch_src, k)
     idx = jnp.arange(k * b, dtype=jnp.int32).reshape(k, b)
     compiled, _ = aot_compile(step_fn, state, idx)
 
@@ -73,6 +100,7 @@ def main():
         "preset": preset,
         "stage": "joint",
         "warp_impl": config.augment.warp_impl,
+        "data": "materialized_uint8" if materialized else "synthetic_ingraph",
         "batch": b,
         "k": k,
         "device_ms_per_dispatch": round(med_ms, 2),
@@ -80,7 +108,8 @@ def main():
         "top_ops": rows,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, f"train_ops_{preset}.json")
+    suffix = "_materialized" if materialized else ""
+    path = os.path.join(here, f"train_ops_{preset}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

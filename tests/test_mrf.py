@@ -220,31 +220,20 @@ def test_bf16_unaries_differentiate_and_match_unfused_grads():
     assert gp.dtype == jnp.bfloat16
 
 
-def test_custom_grouped_conv_grads_match_autodiff_both_gates():
-    """Round-4b hand-written backward (dense dL/dp conv + patches-dot
-    dL/dk) must equal autodiff's gradients on both sides of the
-    patch-size gate, including the TP-sharded Kv != Ka case."""
-    import jax.lax as lax
-
+def test_custom_grouped_conv_grads_match_autodiff():
+    """Round-4b dense-embedded backward (mrf_xla._grouped_conv_f32_bwd)
+    must equal autodiff's gradients, including the TP-sharded
+    Kv != Ka case."""
     from jointpose.ops import mrf_xla as m
 
     rng = np.random.RandomState(7)
-    for kv, ka, wh, ww, limit in (
-        (3, 5, 7, 5, None),     # custom path (small patches)
-        (4, 4, 5, 5, 0),        # forced autodiff fallback
-    ):
+    for kv, ka, wh, ww in ((3, 5, 7, 5), (4, 4, 5, 5)):
         p = jnp.asarray(rng.rand(2, 10, 14, kv).astype(np.float32))
         kern = jnp.asarray(rng.rand(wh, ww, 1, kv * ka).astype(np.float32) * 0.1)
-        old = m._DK_PATCHES_LIMIT
-        if limit is not None:
-            m._DK_PATCHES_LIMIT = limit
-        try:
-            gc = jax.grad(
-                lambda a, b: jnp.sum(jnp.sin(m._grouped_conv_f32(a, b, kv, None))),
-                argnums=(0, 1),
-            )(p, kern)
-        finally:
-            m._DK_PATCHES_LIMIT = old
+        gc = jax.grad(
+            lambda a, b: jnp.sum(jnp.sin(m._grouped_conv_f32(a, b, kv, None))),
+            argnums=(0, 1),
+        )(p, kern)
         go = jax.grad(
             lambda a, b: jnp.sum(jnp.sin(
                 m._grouped_conv(a, b, kv, None, None).astype(jnp.float32))),
