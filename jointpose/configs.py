@@ -81,7 +81,12 @@ class MRFConfig:
     window: tuple[int, int] = (45, 67)
     eps: float = 1e-6  # floor inside log() — bf16-safe (SURVEY §7 #2)
     normalize_input: bool = True  # spatial-softmax detector maps before MRF
-    use_pallas: bool = True  # fused Pallas epilogue where supported
+    # In the fft regime, selects the fused Pallas Fourier tail; in the
+    # direct-conv regime select_impl always returns 'xla' (measured
+    # faster at every production geometry — results/kernels/
+    # mrf_coarse_times.json), so this flag has no effect there.  Set
+    # impl='pallas' to force the fused epilogue explicitly.
+    use_pallas: bool = True
     # Pairwise-conv implementation: 'auto' | 'xla' | 'pallas' | 'fft'.
     # 'fft' computes the K^2 large correlations as DFT matmuls on the
     # MXU (ops/mrf_fft.py) — ~12x fewer FLOPs than XLA's dense rewrite

@@ -171,11 +171,15 @@ def evaluate(
             break
         idx = (np.arange(start, start + batch, dtype=np.int32)) % n
         got = dataset.get_batch(jnp.asarray(idx))
-        if uint8_ingest:
+        if uint8_ingest and got["image"].dtype != jnp.uint8:
             # Score the PRODUCTION input contract: clients send raw
             # uint8 RGB (serve.py), which the model normalizes in-graph
             # — so the eval sees exactly the 8-bit-quantized pixel
             # values a deployment sees, not the float source frames.
+            # Datasets that already hand back uint8 (the materialized
+            # host pipeline, data/pipeline.py) already satisfy the
+            # contract and must pass through untouched — re-scaling
+            # uint8 by 255 would saturate every nonzero pixel.
             got = dict(got)
             got["image"] = jnp.round(got["image"] * 255.0).astype(jnp.uint8)
         real = min(batch, n - start)

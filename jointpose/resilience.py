@@ -62,12 +62,20 @@ class Heartbeat:
         if now - self._last < self.min_interval:
             return
         self._last = now
-        # pid-unique tmp: in multi-process runs every process beats the
-        # same heartbeat file (latest writer wins; the content — "this
-        # run is alive at step s" — is equivalent), but a shared tmp
-        # name would let two concurrent writers tear each other's file
-        # before the atomic rename.
-        tmp = f"{self.path}.{os.getpid()}.tmp"
+        # process+pid-unique tmp: in multi-process runs every process
+        # beats the same heartbeat file (latest writer wins; the content
+        # — "this run is alive at step s" — is equivalent), but a shared
+        # tmp name would let two concurrent writers tear each other's
+        # file before the atomic rename.  The pid alone is not unique
+        # across hosts that share the filesystem, so the JAX process
+        # index is included too (0 when jax.distributed is not up).
+        try:
+            import jax
+
+            proc = jax.process_index()
+        except Exception:
+            proc = 0
+        tmp = f"{self.path}.{proc}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump({"step": int(step), "time": now}, f)
         os.replace(tmp, self.path)

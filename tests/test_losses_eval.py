@@ -228,6 +228,46 @@ def test_evaluate_uint8_ingest_scores_the_serving_contract(tiny_config):
     assert np.max(np.abs(a - b)) <= 0.25, np.max(np.abs(a - b))
 
 
+def test_evaluate_uint8_ingest_passes_uint8_datasets_through(tiny_config):
+    """A dataset that already returns uint8 images (the materialized
+    host pipeline — the real serving contract) must reach the model
+    unchanged under --uint8-ingest: re-scaling uint8 by 255 would
+    saturate every nonzero pixel to 255 (ADVICE r4 medium)."""
+    import jax
+
+    from jointpose.data.pipeline import Dataset, make_dataset
+    from jointpose.evaluate import evaluate
+    from jointpose.models.pose import PoseModel
+
+    cfg = tiny_config.replace(mrf=None)
+    _, test_ds = make_dataset(cfg.data)
+
+    def get_u8(indices):
+        got = dict(test_ds.get_batch(indices))
+        got["image"] = np.round(
+            np.asarray(got["image"]) * 255.0
+        ).astype(np.uint8)
+        return got
+
+    u8_ds = Dataset(size=test_ds.size, get_batch=get_u8, host_resident=True)
+    model = PoseModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *cfg.data.image_hw, 3)))
+    # The uint8 dataset scored with and without the flag must agree
+    # EXACTLY: both paths feed the identical uint8 pixels (the flag is
+    # a no-op for an already-uint8 source).
+    ev_u8 = evaluate(params, u8_ds, cfg, model.apply, uint8_ingest=True)
+    ev_plain = evaluate(params, u8_ds, cfg, model.apply)
+    np.testing.assert_array_equal(
+        np.asarray(ev_u8["pdj_curves"]), np.asarray(ev_plain["pdj_curves"])
+    )
+    # And within 8-bit quantization noise of the float eval.
+    ev_f = evaluate(params, test_ds, cfg, model.apply)
+    a = np.asarray(ev_f["pdj_curves"])
+    b = np.asarray(ev_u8["pdj_curves"])
+    assert np.max(np.abs(a - b)) <= 0.25, np.max(np.abs(a - b))
+
+
 def test_avg_pyramid_reshape_mean_matches_avg_pool():
     """The round-4 reshape-mean pyramid (detector.py) is exactly
     nn.avg_pool for the even-dims non-overlapping case every preset
