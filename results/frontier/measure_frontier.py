@@ -126,7 +126,19 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
     # field must divide by the chip's 394 TOP/s int8 peak — the bf16
     # peak yields utils > 1 and rooflines below measured (ADVICE r3).
     peak = PEAK_INT8_OPS if "int8" in variants else PEAK_BF16_FLOPS
-    roof = roofline_images_per_sec(flops_img, bytes_img, peak_flops=peak)
+    # Two derived columns with distinct semantics (round-4 verdict weak
+    # #2 — the old single column baked an ASSUMED 0.6 MXU util, which
+    # the int8 direct conv beats at 0.77 measured, putting the "bound"
+    # below the measurement):
+    #   roofline_images_per_sec — the true min(peak MXU, raw HBM) bound
+    #     at util 1.0; no measurement can exceed it.
+    #   expected_images_per_sec_assumed_util — the old planning number
+    #     at 0.6 MXU / 0.8 HBM sustained fractions; measurements may
+    #     legitimately beat it.
+    roof = roofline_images_per_sec(
+        flops_img, bytes_img, peak_flops=peak, mxu_util=1.0, hbm_eff=1.0
+    )
+    expected = roofline_images_per_sec(flops_img, bytes_img, peak_flops=peak)
     row = {
         "preset": name,
         "batch": batch,
@@ -134,6 +146,7 @@ def measure(name: str, batch: int, ops_detail: bool = False) -> dict:
         "mb_per_image": round(bytes_img / 1e6, 2),
         "flop_ledger": "int8" if "int8" in variants else "bf16",
         "roofline_images_per_sec": round(roof, 1),
+        "expected_images_per_sec_assumed_util": round(expected, 1),
         "mrf": None
         if config.mrf is None
         else {
@@ -182,7 +195,8 @@ def main():
     # asks to break down) and the flagship (the headline).
     rows = [
         measure(name, batch,
-                ops_detail=name in ("mrf", "flagship", "joint+stride+int8"))
+                ops_detail=name in ("mrf", "flagship", "flagship_slim",
+                                    "joint+stride+int8"))
         for name in POINTS
     ]
     out = {
