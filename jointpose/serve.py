@@ -74,7 +74,7 @@ class PoseService:
                  batch_wait_ms: float = 2.0, quantize_calib: int = 0,
                  quantize_artifact: str | None = None,
                  batch_buckets: list[int] | None = None,
-                 max_queue_images: int = 0):
+                 max_queue_images: int = 0, max_inflight: int = 2):
         from jointpose.predict import build_predictor, restore_params
 
         self.config = config
@@ -160,6 +160,25 @@ class PoseService:
         self._stats_lock = threading.Lock()
         self._latencies: collections.deque[float] = collections.deque(maxlen=1024)
         self._fills: collections.deque[float] = collections.deque(maxlen=1024)
+        # Pipelined completion (round 5): jax dispatch is async — the
+        # device result only needs a host thread to MATERIALIZE it
+        # (np.asarray blocks until compute + transfer finish).  With a
+        # single thread doing dispatch AND materialization, the device
+        # idles for a full host<->device round trip between batches; on
+        # this rig's relay that RTT exceeds the compute itself.  The
+        # dispatcher therefore hands (device_result, waiters) to a
+        # completion thread through a BOUNDED queue (backpressure caps
+        # in-flight device batches at ``max_inflight``), so batch N+1
+        # dispatches while batch N's results are still in flight.
+        import queue as _queue
+
+        self._inflight: _queue.Queue = _queue.Queue(
+            maxsize=max(int(max_inflight), 1)
+        )
+        self._completer = threading.Thread(
+            target=self._completion_loop, name="pose-complete", daemon=True
+        )
+        self._completer.start()
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="pose-dispatch", daemon=True
         )
@@ -203,6 +222,10 @@ class PoseService:
             self._run(batch, n)
 
     def _run(self, batch: list[_Pending], n: int) -> None:
+        """Dispatch one coalesced batch to the device (async) and hand
+        the un-materialized result to the completion thread."""
+        coords = None
+        err: Exception | None = None
         try:
             chunk = (batch[0].images if len(batch) == 1
                      else np.concatenate([p.images for p in batch]))
@@ -220,23 +243,40 @@ class PoseService:
             # is treated as float in [0, 1].
             dt = jnp.uint8 if chunk.dtype == np.uint8 else jnp.float32
             coords, _ = self._predict(jnp.asarray(chunk, dt))
-            coords_np = np.asarray(coords)
-            offset = 0
-            for p in batch:
-                p.coords = coords_np[offset : offset + p.images.shape[0]]
-                offset += p.images.shape[0]
         except Exception as e:  # surface to every waiter, keep dispatching
-            for p in batch:
-                p.error = e
-        finally:
-            self.stats["dispatches"] += 1
-            if len(batch) > 1:
-                self.stats["coalesced_batches"] += 1
-            with self._stats_lock:
-                # Fill is relative to the bucket actually dispatched.
-                self._fills.append(n / next(b for b in self._buckets if b >= n))
-            for p in batch:
-                p.event.set()
+            err = e
+        self.stats["dispatches"] += 1
+        if len(batch) > 1:
+            self.stats["coalesced_batches"] += 1
+        with self._stats_lock:
+            # Fill is relative to the bucket actually dispatched.
+            self._fills.append(n / next(b for b in self._buckets if b >= n))
+        # Bounded put: blocks when max_inflight device batches are still
+        # un-materialized, which is exactly the backpressure we want.
+        self._inflight.put((coords, err, batch))
+
+    def _completion_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:  # close() sentinel
+                return
+            coords, err, batch = item
+            try:
+                if err is None:
+                    coords_np = np.asarray(coords)  # blocks until ready
+                    offset = 0
+                    for p in batch:
+                        p.coords = coords_np[offset : offset + p.images.shape[0]]
+                        offset += p.images.shape[0]
+                else:
+                    for p in batch:
+                        p.error = err
+            except Exception as e:  # device-side failure surfaces here
+                for p in batch:
+                    p.error = e
+            finally:
+                for p in batch:
+                    p.event.set()
 
     def metrics(self) -> dict:
         """Counters + latency/fill summaries for /healthz (last 1024
@@ -264,6 +304,10 @@ class PoseService:
             self._closed = True
             self._cond.notify_all()
         self._dispatcher.join(timeout=10)
+        # The dispatcher has drained the queue; let the completion
+        # thread finish every in-flight batch, then stop it.
+        self._inflight.put(None)
+        self._completer.join(timeout=10)
 
     # -- request path --------------------------------------------------
 
@@ -409,6 +453,10 @@ def main(argv: list[str] | None = None) -> None:
                         help="how long the dispatcher waits to coalesce "
                              "concurrent requests into one device batch "
                              "(0 = dispatch whatever is queued immediately)")
+    parser.add_argument("--max-inflight", type=int, default=2,
+                        help="device batches dispatched but not yet "
+                             "materialized (pipelining hides the "
+                             "host<->device round trip; 1 = synchronous)")
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel devices: shard each serving "
                              "batch over this many chips (0/1 = off)")
@@ -446,7 +494,7 @@ def main(argv: list[str] | None = None) -> None:
         config, args.checkpoint, args.batch_size, step=args.step, mesh=mesh,
         batch_wait_ms=args.batch_wait_ms, quantize_calib=args.quantize,
         quantize_artifact=args.quantize_artifact, batch_buckets=buckets,
-        max_queue_images=args.max_queue_images,
+        max_queue_images=args.max_queue_images, max_inflight=args.max_inflight,
     )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     print(f"serving {args.config} (step {service.step}) on 127.0.0.1:{args.port}")

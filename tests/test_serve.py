@@ -255,6 +255,45 @@ def test_micro_batcher_coalesces(tiny_checkpoint):
         service.close()
 
 
+def test_pipelined_completion_preserves_results(tiny_checkpoint):
+    # Round 5: the dispatcher hands un-materialized device results to a
+    # completion thread (max_inflight batches pipeline through the
+    # device).  Every request must still get ITS OWN rows back, in
+    # order, under heavy concurrency — and a synchronous service
+    # (max_inflight=1) must agree exactly.
+    cfg, ckpt_dir = tiny_checkpoint
+    deep = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                       batch_wait_ms=0.0, max_inflight=4)
+    sync = PoseService(cfg, ckpt_dir, batch_size=2, best=False,
+                       batch_wait_ms=0.0, max_inflight=1)
+    try:
+        h, w = cfg.data.image_hw
+        rs = np.random.RandomState(21)
+        imgs = [rs.rand(3, h, w, 3).astype(np.float32) for _ in range(12)]
+        want = [sync.predict(a) for a in imgs]
+        results = [None] * len(imgs)
+
+        def worker(i):
+            results[i] = deep.predict(imgs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(len(imgs)):
+            assert len(results[i]) == 3
+            for j in range(3):
+                for name in want[i][j]["joints"]:
+                    assert results[i][j]["joints"][name] == pytest.approx(
+                        want[i][j]["joints"][name], abs=1e-3
+                    )
+    finally:
+        deep.close()
+        sync.close()
+
+
 def test_micro_batcher_splits_large_and_mixed_dtype(tiny_checkpoint):
     # A request larger than the compiled batch splits into chunks that
     # pipeline through the dispatcher; uint8 and float32 chunks never
