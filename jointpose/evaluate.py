@@ -268,6 +268,12 @@ def main(argv: list[str] | None = None) -> None:
                              "input contract; the model normalizes in-graph) "
                              "— scores the exact numerics a production "
                              "request sees")
+    parser.add_argument("--source", choices=["synthetic", "flic"], default=None,
+                        help="override the preset's data source (evaluate a "
+                             "checkpoint against the FLIC loader path)")
+    parser.add_argument("--flic-dir", default=None,
+                        help="FLIC root (examples.mat + images/); defaults "
+                             "to the config's flic_dir")
     parser.add_argument("--curves", default=None,
                         help="write the PDJ-curve figure to this PNG path")
     parser.add_argument("--json-out", default=None,
@@ -294,6 +300,15 @@ def main(argv: list[str] | None = None) -> None:
         config = config.replace(
             mrf=dataclasses.replace(config.mrf, precision=args.mrf_precision)
         )
+    if args.source is not None or args.flic_dir is not None:
+        import dataclasses
+
+        dd: dict = {}
+        if args.source is not None:
+            dd["source"] = args.source
+        if args.flic_dir is not None:
+            dd["flic_dir"] = args.flic_dir
+        config = config.replace(data=dataclasses.replace(config.data, **dd))
     from jointpose.checkpoint import reconcile_config
 
     config = reconcile_config(config, args.checkpoint, args.pool_mode)

