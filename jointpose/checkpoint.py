@@ -121,10 +121,20 @@ class Checkpointer:
         # In legacy mode nothing is ever deleted: the old single-manager
         # layout may hold a kept-best step that a keep-last-N policy
         # would garbage-collect on the next save.
+        # Distinct barrier_sync_key_prefix per manager: orbax's async-
+        # commit barriers are keyed by STEP, so in multi-process runs
+        # the two managers saving the SAME step (every full-model eval)
+        # race on identical '_async_write_complete.<step>' keys in the
+        # global coordination service — surfaced as FAILED_PRECONDITION
+        # 'Barrier ... already ongoing' the first time a 2-process run
+        # saved more than once per invocation (the round-5 supervised
+        # multi-process drill, tests/test_resilience_multiprocess.py).
+        mp = ocp.options.MultiprocessingOptions
         self._latest = ocp.CheckpointManager(
             latest_dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=None if legacy_steps else keep, create=True
+                max_to_keep=None if legacy_steps else keep, create=True,
+                multiprocessing_options=mp(barrier_sync_key_prefix="latest"),
             ),
         )
         self._best = ocp.CheckpointManager(
@@ -134,6 +144,7 @@ class Checkpointer:
                 best_fn=lambda m: m.get("pdj_at_05_wrist_elbow", 0.0),
                 best_mode="max",
                 create=True,
+                multiprocessing_options=mp(barrier_sync_key_prefix="best"),
             ),
         )
 

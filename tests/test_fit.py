@@ -47,6 +47,67 @@ def test_fit_runs_stages_and_logs(tmp_path):
     assert losses[-1] < losses[0]
 
 
+def test_host_fused_multistep_matches_single_step(tmp_path, monkeypatch):
+    """Round 5: host-resident sources scan K steps per dispatch
+    (make_train_multistep_arrays) — the staged (K, B, ...) array path
+    must replay the single-dispatch-per-step sequence (same batches,
+    same per-step augmentation RNG fold-ins, same prior-init stage
+    boundary) up to scan-vs-unrolled fusion rounding — the same
+    tolerance the index-fed multistep parity test pins
+    (test_train.py::test_multistep_scan_matches_single_steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jointpose.data import pipeline as pl
+    from jointpose.data.synthetic import make_synthetic_flic
+
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        augment=dataclasses.replace(cfg.augment, enabled=True),
+        train=dataclasses.replace(
+            cfg.train, detector_steps=8, joint_steps=8,
+            eval_every=8, log_every=4,
+        ),
+    )
+
+    # A host-resident uint8 split rendered once from the synthetic source
+    # (the exact shape real FLIC takes through from_host_arrays).
+    gen = make_synthetic_flic(cfg.data)
+    full = gen(jnp.arange(cfg.data.train_size + cfg.data.test_size,
+                          dtype=jnp.int32))
+    arrays = {
+        "image": np.round(np.asarray(full["image"]) * 255.0).astype(np.uint8),
+        "joints": np.asarray(full["joints"]),
+        "visible": np.asarray(full["visible"]),
+    }
+    n_train = cfg.data.train_size
+
+    def fake_make_dataset(data_cfg):
+        tr = {k: v[:n_train] for k, v in arrays.items()}
+        te = {k: v[n_train:] for k, v in arrays.items()}
+        return pl.from_host_arrays(tr), pl.from_host_arrays(te)
+
+    monkeypatch.setattr("jointpose.train.make_dataset", fake_make_dataset)
+    monkeypatch.setattr("jointpose.evaluate.make_dataset", fake_make_dataset, raising=False)
+
+    def run(k):
+        c = cfg.replace(train=dataclasses.replace(cfg.train, steps_per_dispatch=k))
+        wd = str(tmp_path / f"k{k}")
+        return fit(c, wd, eval_max_batches=1)
+
+    r1 = run(1)
+    r4 = run(4)
+    assert int(r1.state.step) == int(r4.state.step) == 16
+    flat1 = jax.tree_util.tree_leaves_with_path(r1.state.params)
+    flat4 = jax.tree_util.tree_leaves_with_path(r4.state.params)
+    assert len(flat1) == len(flat4)
+    for (path, a), (_, b) in zip(flat1, flat4):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_best_checkpoint_only_ranks_full_model_scores(tmp_path):
     # Detector-stage evals score the detector-only head, but a checkpoint
     # saved then holds an uninitialized MRF: it must never enter the
