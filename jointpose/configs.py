@@ -195,6 +195,14 @@ class DataConfig:
 
     source: str = "synthetic"  # synthetic | flic
     flic_dir: str = "/data/FLIC"
+    # HBM budget (GB) for promoting a host-resident split to an
+    # on-device source (data/pipeline.device_cache): splits under the
+    # budget transfer once and gather on device (the train loop's
+    # index-fused scan then applies — no per-step host->device pixel
+    # streaming); larger splits keep the O(batch) host-streaming path.
+    # 0 disables.  Single-process runs only (a multi-host cache would
+    # need a sharded global array; hosts stream their local batches).
+    device_cache_gb: float = 2.0
     image_hw: tuple[int, int] = (240, 360)
     heatmap_stride: int = 4
     sigma: float = 1.5

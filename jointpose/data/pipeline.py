@@ -31,8 +31,12 @@ class Dataset:
     size: int
     get_batch: Callable[[jnp.ndarray], dict]
     # True when the split's full arrays live in host RAM and get_batch
-    # slices there (never park the split in HBM — SURVEY §7 hard-part #5).
+    # slices there; see device_cache() for when parking a small uint8
+    # split in HBM is the better trade.
     host_resident: bool = False
+    # The backing host arrays of a host-resident split (device_cache
+    # promotes them); None for generated sources.
+    arrays: dict | None = None
 
 
 def make_dataset(cfg: DataConfig) -> tuple[Dataset, Dataset]:
@@ -92,7 +96,48 @@ def from_host_arrays(arrays: dict) -> Dataset:
             "visible": visible[idx],
         }
 
-    return Dataset(size=int(image.shape[0]), get_batch=get_batch, host_resident=True)
+    return Dataset(
+        size=int(image.shape[0]),
+        get_batch=get_batch,
+        host_resident=True,
+        arrays={"image": image, "joints": joints, "visible": visible},
+    )
+
+
+def device_cache(ds: Dataset, max_bytes: float, sharding=None) -> Dataset:
+    """Promote a host-resident split to an HBM-resident jittable source.
+
+    When the split's arrays fit ``max_bytes`` (full FLIC is ~1.0 GB
+    train / 0.26 GB test as uint8 — small next to a 16 GB chip), the
+    one-time transfer beats streaming every batch host->device for the
+    whole run, and ``get_batch`` becomes a pure on-device gather — so
+    the train loop's INDEX-fused K-step scan applies and a dispatch
+    carries 4 bytes per index instead of megabytes of pixels.  uint8
+    images stay uint8 in HBM and through the gather (augmentation /
+    the model normalize in-graph).  Splits over budget (or generated
+    sources) pass through untouched and keep the host-streaming path —
+    the round-1 lesson (never park an UNBOUNDED split in HBM) becomes a
+    sized decision instead of a blanket rule.
+    """
+    if not ds.host_resident or ds.arrays is None:
+        return ds
+    nbytes = sum(a.nbytes for a in ds.arrays.values())
+    if nbytes > max_bytes:
+        return ds
+    if sharding is not None:
+        # Replicate the cache over the mesh so sharded-index gathers
+        # stay local to each device (per-device copy; sized by the
+        # budget above).
+        import jax
+
+        dev = {k: jax.device_put(v, sharding) for k, v in ds.arrays.items()}
+    else:
+        dev = {k: jnp.asarray(v) for k, v in ds.arrays.items()}
+
+    def get_batch(indices) -> dict:
+        return {k: v[indices] for k, v in dev.items()}
+
+    return Dataset(size=ds.size, get_batch=get_batch, host_resident=False)
 
 
 def epoch_order(

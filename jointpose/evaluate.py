@@ -315,6 +315,10 @@ def main(argv: list[str] | None = None) -> None:
     params, step = restore_params(config, args.checkpoint, args.step, best=args.best)
     train_ds, test_ds = make_dataset(config.data)
     ds = train_ds if args.split == "train" else test_ds
+    if config.data.device_cache_gb > 0 and jax.process_count() == 1:
+        from jointpose.data.pipeline import device_cache
+
+        ds = device_cache(ds, config.data.device_cache_gb * 1e9)
     mesh = None
     if args.mesh_data > 1 or args.mesh_model > 1:
         from jointpose.configs import MeshConfig

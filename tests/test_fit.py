@@ -64,6 +64,10 @@ def test_host_fused_multistep_matches_single_step(tmp_path, monkeypatch):
     cfg = get_config("tiny")
     cfg = cfg.replace(
         augment=dataclasses.replace(cfg.augment, enabled=True),
+        # device_cache_gb=0 pins the HOST-ARRAY staging path (the
+        # default would promote this tiny split to the HBM cache and
+        # test the index-fused path instead — covered below).
+        data=dataclasses.replace(cfg.data, device_cache_gb=0.0),
         train=dataclasses.replace(
             cfg.train, detector_steps=8, joint_steps=8,
             eval_every=8, log_every=4,
@@ -90,22 +94,34 @@ def test_host_fused_multistep_matches_single_step(tmp_path, monkeypatch):
     monkeypatch.setattr("jointpose.train.make_dataset", fake_make_dataset)
     monkeypatch.setattr("jointpose.evaluate.make_dataset", fake_make_dataset, raising=False)
 
-    def run(k):
+    def run(k, tag=""):
         c = cfg.replace(train=dataclasses.replace(cfg.train, steps_per_dispatch=k))
-        wd = str(tmp_path / f"k{k}")
+        wd = str(tmp_path / f"k{k}{tag}")
         return fit(c, wd, eval_max_batches=1)
 
     r1 = run(1)
     r4 = run(4)
     assert int(r1.state.step) == int(r4.state.step) == 16
-    flat1 = jax.tree_util.tree_leaves_with_path(r1.state.params)
-    flat4 = jax.tree_util.tree_leaves_with_path(r4.state.params)
-    assert len(flat1) == len(flat4)
-    for (path, a), (_, b) in zip(flat1, flat4):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
-            err_msg=jax.tree_util.keystr(path),
-        )
+
+    def assert_close(pa, pb):
+        fa = jax.tree_util.tree_leaves_with_path(pa)
+        fb = jax.tree_util.tree_leaves_with_path(pb)
+        assert len(fa) == len(fb)
+        for (path, a), (_, b) in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    assert_close(r1.state.params, r4.state.params)
+
+    # The HBM device cache (pipeline.device_cache): the same host split
+    # promoted on-device must land on the same trained params — the
+    # cache changes WHERE batches come from, never what they contain.
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, device_cache_gb=2.0))
+    rc = run(4, tag="_cached")
+    assert int(rc.state.step) == 16
+    assert_close(r4.state.params, rc.state.params)
 
 
 def test_best_checkpoint_only_ranks_full_model_scores(tmp_path):
