@@ -124,15 +124,28 @@ def device_cache(ds: Dataset, max_bytes: float, sharding=None) -> Dataset:
     nbytes = sum(a.nbytes for a in ds.arrays.values())
     if nbytes > max_bytes:
         return ds
-    if sharding is not None:
-        # Replicate the cache over the mesh so sharded-index gathers
-        # stay local to each device (per-device copy; sized by the
-        # budget above).
-        import jax
+    import jax
 
-        dev = {k: jax.device_put(v, sharding) for k, v in ds.arrays.items()}
-    else:
-        dev = {k: jnp.asarray(v) for k, v in ds.arrays.items()}
+    def put(v):
+        # Chunked transfer: a single ~1 GB device_put wedges this rig's
+        # relay tunnel (observed 2026-08-19: axon-conn-read parked in
+        # wait_woken for 20+ min on the full FLIC train split), and
+        # bounded slices also bound host+device transient memory.  The
+        # on-device concatenate reassembles the split without another
+        # host round trip.
+        chunk = max(1, int(32e6 / max(v[0:1].nbytes, 1)))
+        parts = [
+            jax.device_put(v[i : i + chunk], sharding)
+            if sharding is not None
+            else jnp.asarray(v[i : i + chunk])
+            for i in range(0, v.shape[0], chunk)
+        ]
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if sharding is not None:
+            out = jax.device_put(out, sharding)
+        return jax.block_until_ready(out)
+
+    dev = {k: put(np.asarray(v)) for k, v in ds.arrays.items()}
 
     def get_batch(indices) -> dict:
         return {k: v[indices] for k, v in dev.items()}
