@@ -37,6 +37,12 @@ class Dataset:
     # The backing host arrays of a host-resident split (device_cache
     # promotes them); None for generated sources.
     arrays: dict | None = None
+    # device_cache only: the HBM-resident array dict.  Jitted consumers
+    # (the train loop) must take it as an ARGUMENT — a jit that merely
+    # closes over it ships the whole split to the compiler as HLO
+    # constants (measured on this rig's remote compile service: 69 s
+    # for a 133 MB closure, unbounded for the 1.26 GB FLIC cache).
+    cache: dict | None = None
 
 
 def make_dataset(cfg: DataConfig) -> tuple[Dataset, Dataset]:
@@ -148,9 +154,14 @@ def device_cache(ds: Dataset, max_bytes: float, sharding=None) -> Dataset:
     dev = {k: put(np.asarray(v)) for k, v in ds.arrays.items()}
 
     def get_batch(indices) -> dict:
+        # Eager standalone gather for host-loop callers (eval, priors);
+        # jitted consumers use ``cache`` as an argument instead (see the
+        # Dataset.cache field note).
         return {k: v[indices] for k, v in dev.items()}
 
-    return Dataset(size=ds.size, get_batch=get_batch, host_resident=False)
+    return Dataset(
+        size=ds.size, get_batch=get_batch, host_resident=False, cache=dev
+    )
 
 
 def epoch_order(

@@ -149,9 +149,12 @@ def _make_step_body(
         metrics["loss"] = total
         return total, metrics
 
-    def train_step(state: TrainState, batch: dict):
+    def train_step(state: TrainState, batch: dict, *extras):
         if get_batch is not None:
-            batch = get_batch(batch)  # batch arg carries the indices
+            # batch arg carries the indices; extras carry e.g. the HBM
+            # data cache (as jit ARGUMENTS — a closure over large device
+            # arrays ships them to the compiler as HLO constants).
+            batch = get_batch(batch, *extras)
         images = batch["image"]
         joints, visible = batch["joints"], batch["visible"]
         if augment:
@@ -221,9 +224,9 @@ def make_train_multistep(
     body = _make_step_body(config, stage, get_batch)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def multi_step(state: TrainState, indices):
+    def multi_step(state: TrainState, indices, *extras):
         def scan_body(s, idx_row):
-            s, metrics = body(s, idx_row)
+            s, metrics = body(s, idx_row, *extras)
             return s, metrics
 
         state, metrics = jax.lax.scan(scan_body, state, indices)
@@ -387,7 +390,19 @@ def fit(
     # bottleneck, and the scan amortizes it K-fold with bit-identical
     # step semantics either way.
     fused = not train_ds.host_resident
-    gen = train_ds.get_batch if fused else None
+    # HBM-cached splits: the gather fn takes the cache dict as an
+    # argument (see Dataset.cache) and the loop passes it per dispatch —
+    # device arrays pass by reference, so this costs nothing at runtime
+    # and keeps the compiled module free of gigabyte constants.
+    cache = train_ds.cache
+    if fused and cache is not None:
+        def gen(indices, cache_arg):
+            return {k: v[indices] for k, v in cache_arg.items()}
+
+        step_extras: tuple = (cache,)
+    else:
+        gen = train_ds.get_batch if fused else None
+        step_extras = ()
     k_dispatch = max(config.train.steps_per_dispatch, 1)
     step_cache: dict[tuple[str, int], Callable] = {}
 
@@ -411,14 +426,14 @@ def fit(
     # joint step ~2x).
     stage_costs: dict[tuple[str, int], float | None] = {}
 
-    def log_stage_cost(stage: str, chunk: int, state, batch) -> None:
+    def log_stage_cost(stage: str, chunk: int, state, batch, *extras) -> None:
         key = (stage, chunk)
         if key in stage_costs or jax.default_backend() != "tpu":
             return
         from jointpose.perf import aot_compile, roofline_images_per_sec
 
         try:
-            compiled, cost = aot_compile(step_cache[key], state, batch)
+            compiled, cost = aot_compile(step_cache[key], state, batch, *extras)
             # Execute through the AOT executable from here on — the AOT
             # compile does not populate jit's call cache, so keeping the
             # jit wrapper would compile the identical program twice.
@@ -589,14 +604,14 @@ def fit(
         else:
             batch = shard_batch(train_ds.get_batch(jnp.asarray(indices_for_step(step))), mesh)
         step_fn = get_step_fn(stage, chunk)
-        log_stage_cost(stage, chunk, state, batch)
+        log_stage_cost(stage, chunk, state, batch, *step_extras)
         step_fn = step_cache[(stage, chunk)]  # may now be the AOT executable
         if profiler is not None:
             profiler.on_step(step)
             with profiler.annotation(step):
-                state, metrics = step_fn(state, batch)
+                state, metrics = step_fn(state, batch, *step_extras)
         else:
-            state, metrics = step_fn(state, batch)
+            state, metrics = step_fn(state, batch, *step_extras)
         # Host-side step counter: int(state.step) would block on the
         # device result every iteration, serializing dispatch.
         step += chunk
