@@ -202,7 +202,16 @@ class DataConfig:
     # streaming); larger splits keep the O(batch) host-streaming path.
     # 0 disables.  Single-process runs only (a multi-host cache would
     # need a sharded global array; hosts stream their local batches).
-    device_cache_gb: float = 2.0
+    # OPT-IN (default 0) on this rig: the axon relay pays a one-time
+    # ~0.4 s/MB processing cost per (program, buffer) association —
+    # measured 382 s first-call latency for a 1 GB cache argument,
+    # 53 s compile for a 133 MB closure constant, same per-MB rate —
+    # so a full-FLIC cache costs ~6 min per compiled program before
+    # the first step runs, while the K-fused host-streaming path
+    # (make_train_multistep_arrays) already overlaps its ~83 MB/
+    # dispatch transfers with compute at the relay's measured
+    # 300 MB/s.  On directly-attached hosts (PCIe), turn it on.
+    device_cache_gb: float = 0.0
     image_hw: tuple[int, int] = (240, 360)
     heatmap_stride: int = 4
     sigma: float = 1.5
