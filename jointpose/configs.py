@@ -202,15 +202,18 @@ class DataConfig:
     # streaming); larger splits keep the O(batch) host-streaming path.
     # 0 disables.  Single-process runs only (a multi-host cache would
     # need a sharded global array; hosts stream their local batches).
-    # OPT-IN (default 0) on this rig: the axon relay pays a one-time
-    # ~0.4 s/MB processing cost per (program, buffer) association —
-    # measured 382 s first-call latency for a 1 GB cache argument,
-    # 53 s compile for a 133 MB closure constant, same per-MB rate —
-    # so a full-FLIC cache costs ~6 min per compiled program before
-    # the first step runs, while the K-fused host-streaming path
-    # (make_train_multistep_arrays) already overlaps its ~83 MB/
-    # dispatch transfers with compute at the relay's measured
-    # 300 MB/s.  On directly-attached hosts (PCIe), turn it on.
+    # Default 0 (opt-in) because the right setting is HOST-dependent.
+    # Measured on this rig's relay (2026-08-19): raw device_put runs at
+    # ~300 MB/s, but (a) HOST-RESIDENT program arguments pay ~0.1 s/MB
+    # on EVERY execution (the K=10 fused host stream's 83 MB/dispatch
+    # → ~10 s/dispatch, 37 img/s — 20x under the device rate), and
+    # (b) any big buffer pays a ONE-TIME ~0.4 s/MB processing cost per
+    # (program, buffer) association, device-resident or not (1 GB
+    # cache arg → 382 s first call; 133 MB closure constant → 53 s
+    # compile; same per-MB rate) — after which device-resident args
+    # are free.  So for a multi-hour run the cache wins despite the
+    # ~6 min/program warmup, and training runs pass --device-cache-gb
+    # explicitly.  On directly-attached hosts (PCIe) it simply wins.
     device_cache_gb: float = 0.0
     image_hw: tuple[int, int] = (240, 360)
     heatmap_stride: int = 4

@@ -706,6 +706,9 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--flic-dir", default=None,
                         help="FLIC root (examples.mat + images/); defaults "
                              "to the config's flic_dir")
+    parser.add_argument("--device-cache-gb", type=float, default=None,
+                        help="HBM budget for caching host splits on device "
+                             "(DataConfig.device_cache_gb; 0 = stream)")
     parser.add_argument("--eval-max-batches", type=int, default=None)
     parser.add_argument("--eval-every", type=int, default=None,
                         help="eval + checkpoint cadence in steps")
@@ -779,6 +782,12 @@ def main(argv: list[str] | None = None) -> None:
     if args.flic_dir is not None:
         config = config.replace(
             data=dataclasses.replace(config.data, flic_dir=args.flic_dir)
+        )
+    if args.device_cache_gb is not None:
+        config = config.replace(
+            data=dataclasses.replace(
+                config.data, device_cache_gb=args.device_cache_gb
+            )
         )
     if args.mesh_data is not None or args.mesh_model is not None or args.mesh_spatial:
         mm: dict[str, Any] = {"spatial": args.mesh_spatial}
