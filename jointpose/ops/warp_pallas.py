@@ -145,6 +145,87 @@ def shear_warp(images: jnp.ndarray, a_inv: jnp.ndarray,
     return _pass_call(t1, p2, s_out=h)
 
 
+def _resample_kernel_csub(src_ref, par_ref, out_ref, *, t: int, s_in: int,
+                          s_out: int):
+    """Channel-in-sublane variant of one shear pass (round 5).
+
+    The production kernel's per-row matmul is (S_out, S_in) @ (S_in, C)
+    with C=3 — 3 of 128 MXU output lanes do work.  Swapping operand
+    orientation to (C, S_in) @ (S_in, S_out) puts the full resample
+    axis in lanes and only pays C=3 of 8 sublanes: ~16x better MXU
+    occupancy for identical math (same hat weights, same fp32
+    accumulation).  The price is spatial-transposed operand layouts,
+    handled by XLA transposes around the two passes (timed as part of
+    the variant in results/kernels/trainpipe_variants.py).
+
+    src_ref: (1, T, C, S_in) — T rows (pass 1) / xo-columns (pass 2).
+    out_ref: (1, T, C, S_out).
+    """
+    ib = pl.program_id(0)
+    alpha = par_ref[ib, 0]
+    shear = par_ref[ib, 1]
+    off = par_ref[ib, 2]
+    r0 = pl.program_id(1) * t
+    o2 = lax.broadcasted_iota(jnp.int32, (s_in, s_out), 1).astype(jnp.float32)
+    u2 = lax.broadcasted_iota(jnp.int32, (s_in, s_out), 0).astype(jnp.float32)
+    # W^T[s_in, s_out] = hat(u - pos(o)); the row-constant part hoisted.
+    base = u2 - alpha * o2
+    for r in range(t):
+        w_t = jnp.maximum(0.0, 1.0 - jnp.abs(base - (shear * (r0 + r) + off)))
+        out_ref[0, r] = lax.dot_general(
+            src_ref[0, r], w_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.DEFAULT,
+        )
+
+
+def _pass_call_csub(src, pars, s_out: int):
+    """One C-in-sublane pass over src (B, N, C, S_in) -> (B, N, C, S_out)."""
+    b, n, c, s_in = src.shape
+    n_pad = (-n) % 8
+    if n_pad:
+        src = jnp.pad(src, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+        n += n_pad
+    t = _row_block(n)
+    out = pl.pallas_call(
+        functools.partial(_resample_kernel_csub, t=t, s_in=s_in, s_out=s_out),
+        grid=(b, n // t),
+        in_specs=[
+            pl.BlockSpec((1, t, c, s_in), lambda ib, ir: (ib, ir, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 3), lambda ib, ir: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c, s_out), lambda ib, ir: (ib, ir, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c, s_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * b * n * s_in * s_out * c),
+            bytes_accessed=int(4 * b * n * c * (s_in + s_out)),
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(src, pars)
+    return out[:, : n - n_pad] if n_pad else out
+
+
+def shear_warp_csub(images: jnp.ndarray, a_inv: jnp.ndarray,
+                    b_inv: jnp.ndarray) -> jnp.ndarray:
+    """Channel-in-sublane shear warp: same math as :func:`shear_warp`,
+    MXU-oriented operands.  Layout chain (XLA transposes between):
+      NHWC (B,H,W,C) -> (B,H,C,W) -> pass1 -> (B,H,C,Xo)
+        -> (B,Xo,C,H) -> pass2 -> (B,Xo,C,Yo) -> NHWC (B,Yo,Xo,C).
+    """
+    bsz, h, w, c = images.shape
+    p1, p2 = _pass_params(a_inv, b_inv)
+    x = jnp.transpose(images.astype(jnp.float32), (0, 1, 3, 2))  # (B,H,C,W)
+    t1 = _pass_call_csub(x, p1, s_out=w)        # (B, H, C, Xo)
+    t1 = jnp.transpose(t1, (0, 3, 2, 1))        # (B, Xo, C, H)
+    t2 = _pass_call_csub(t1, p2, s_out=h)       # (B, Xo, C, Yo)
+    return jnp.transpose(t2, (0, 3, 1, 2))      # (B, Yo, Xo, C)
+
+
 def shear_warp_reference(images, a_inv, b_inv):
     """Plain-jnp mirror of the two-pass math (test oracle; O(N^2)
     dense hats, never used in production)."""

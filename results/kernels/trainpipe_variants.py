@@ -114,6 +114,16 @@ def main():
     finally:
         wp._row_block = orig
 
+    # Round 5: channel-in-sublane operand orientation — full resample
+    # axis in MXU lanes ((C, S_in) @ (S_in, S_out) per row), XLA
+    # transposes between passes (included in the timing).
+    time_it("shear_warp_csub_t16", wp.shear_warp_csub, x32, a_inv, b_inv)
+    try:
+        wp._row_block = lambda n: 32 if n % 32 == 0 else orig(n)
+        time_it("shear_warp_csub_t32", wp.shear_warp_csub, x32, a_inv, b_inv)
+    finally:
+        wp._row_block = orig
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "trainpipe_variants.json"), "w") as f:
         json.dump(rows, f, indent=1)
