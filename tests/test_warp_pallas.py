@@ -102,6 +102,22 @@ def test_pallas_matches_reference_oracle_with_rotation():
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+def test_csub_variant_matches_production_kernel():
+    """Round 5: the channel-in-sublane orientation (shear_warp_csub)
+    computes the identical two-pass math through transposed operands —
+    must match the production kernel to fp32 noise under a full draw
+    (rotation + shear engaged)."""
+    from jointpose.ops.warp_pallas import shear_warp_csub
+
+    imgs = _images(batch=3, h=24, w=36)
+    cfg = AugmentConfig()
+    p = random_augment_params(jax.random.PRNGKey(3), 3, cfg, imgs.shape[1:3])
+    a_inv, b_inv = _inverse(p, imgs.shape[1:3])
+    ours = np.asarray(shear_warp_csub(imgs, a_inv, b_inv))
+    want = np.asarray(shear_warp(imgs, a_inv, b_inv))
+    np.testing.assert_allclose(ours, want, atol=2e-6)
+
+
 @pytest.mark.parametrize("seed", [1, 5])
 def test_content_follows_joints_under_full_draw(seed):
     """Render a bright dot at each joint, augment with warp_impl='shear',
