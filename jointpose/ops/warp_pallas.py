@@ -133,9 +133,16 @@ def _pass_params(a_inv: jnp.ndarray, b_inv: jnp.ndarray):
     return p1.astype(jnp.float32), p2.astype(jnp.float32)
 
 
-def shear_warp(images: jnp.ndarray, a_inv: jnp.ndarray,
-               b_inv: jnp.ndarray) -> jnp.ndarray:
-    """Warp (B, H, W, C) float images by src = A_inv dst + b_inv."""
+def shear_warp_rowmajor(images: jnp.ndarray, a_inv: jnp.ndarray,
+                        b_inv: jnp.ndarray) -> jnp.ndarray:
+    """Warp (B, H, W, C) float images by src = A_inv dst + b_inv.
+
+    Original (rounds 3–4) operand orientation: per-row matmuls
+    (S_out, S_in) @ (S_in, C) with C=3 — transpose-free, but only 3 of
+    128 MXU output lanes do work.  Kept as the cross-orientation parity
+    oracle for :func:`shear_warp` (tests/test_warp_pallas.py) and for
+    wide-C callers where the lane argument flips.
+    """
     bsz, h, w, c = images.shape
     p1, p2 = _pass_params(a_inv, b_inv)
     # Pass 1 consumes source rows y, emits t1[b, xo, y, c];
@@ -210,10 +217,20 @@ def _pass_call_csub(src, pars, s_out: int):
     return out[:, : n - n_pad] if n_pad else out
 
 
-def shear_warp_csub(images: jnp.ndarray, a_inv: jnp.ndarray,
-                    b_inv: jnp.ndarray) -> jnp.ndarray:
-    """Channel-in-sublane shear warp: same math as :func:`shear_warp`,
-    MXU-oriented operands.  Layout chain (XLA transposes between):
+def shear_warp(images: jnp.ndarray, a_inv: jnp.ndarray,
+               b_inv: jnp.ndarray) -> jnp.ndarray:
+    """Warp (B, H, W, C) float images by src = A_inv dst + b_inv.
+
+    PRODUCTION orientation (round 5): channel-in-sublane — same
+    two-pass math as :func:`shear_warp_rowmajor`, operands transposed
+    so the full resample axis lands in MXU lanes ((C, S_in) @
+    (S_in, S_out) per row instead of (S_out, S_in) @ (S_in, C=3)).
+    Measured at the training shape (B=32, 240x360x3): 1.60 ms vs the
+    row-major kernel's 12.67 ms, XLA boundary transposes included
+    (results/kernels/trainpipe_variants.json).  Parity vs row-major is
+    fp32-noise (atol 2e-6, tests/test_warp_pallas.py) — identical hat
+    weights and fp32 accumulation, so the training stream is unchanged.
+    Layout chain (XLA transposes between):
       NHWC (B,H,W,C) -> (B,H,C,W) -> pass1 -> (B,H,C,Xo)
         -> (B,Xo,C,H) -> pass2 -> (B,Xo,C,Yo) -> NHWC (B,Yo,Xo,C).
     """

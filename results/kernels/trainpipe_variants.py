@@ -103,24 +103,27 @@ def main():
     a_inv = jnp.tile(jnp.asarray([[0.95, 0.08], [-0.06, 1.02]], jnp.float32),
                      (B, 1, 1))
     b_inv = jnp.tile(jnp.asarray([3.0, -2.0], jnp.float32), (B, 1))
-    time_it("shear_warp_t16", wp.shear_warp, x32, a_inv, b_inv)
+    # Row-major orientation (the rounds-3/4 production kernel; kept as
+    # shear_warp_rowmajor after the round-5 flip).
+    time_it("shear_warp_t16", wp.shear_warp_rowmajor, x32, a_inv, b_inv)
 
     orig = wp._row_block
     try:
         wp._row_block = lambda n: 32 if n % 32 == 0 else orig(n)
-        time_it("shear_warp_t32", wp.shear_warp, x32, a_inv, b_inv)
+        time_it("shear_warp_t32", wp.shear_warp_rowmajor, x32, a_inv, b_inv)
         wp._row_block = lambda n: 8
-        time_it("shear_warp_t8", wp.shear_warp, x32, a_inv, b_inv)
+        time_it("shear_warp_t8", wp.shear_warp_rowmajor, x32, a_inv, b_inv)
     finally:
         wp._row_block = orig
 
     # Round 5: channel-in-sublane operand orientation — full resample
     # axis in MXU lanes ((C, S_in) @ (S_in, S_out) per row), XLA
-    # transposes between passes (included in the timing).
-    time_it("shear_warp_csub_t16", wp.shear_warp_csub, x32, a_inv, b_inv)
+    # transposes between passes (included in the timing).  This is now
+    # the production shear_warp (the 8x measured win below is why).
+    time_it("shear_warp_csub_t16", wp.shear_warp, x32, a_inv, b_inv)
     try:
         wp._row_block = lambda n: 32 if n % 32 == 0 else orig(n)
-        time_it("shear_warp_csub_t32", wp.shear_warp_csub, x32, a_inv, b_inv)
+        time_it("shear_warp_csub_t32", wp.shear_warp, x32, a_inv, b_inv)
     finally:
         wp._row_block = orig
 

@@ -103,18 +103,20 @@ def test_pallas_matches_reference_oracle_with_rotation():
 
 
 def test_csub_variant_matches_production_kernel():
-    """Round 5: the channel-in-sublane orientation (shear_warp_csub)
-    computes the identical two-pass math through transposed operands —
-    must match the production kernel to fp32 noise under a full draw
-    (rotation + shear engaged)."""
-    from jointpose.ops.warp_pallas import shear_warp_csub
+    """Round 5: the channel-in-sublane orientation (now the production
+    shear_warp) computes the identical two-pass math as the original
+    row-major kernel through transposed operands — the two orientations
+    must match to fp32 noise under a full draw (rotation + shear
+    engaged).  This pins that the round-5 kernel flip did not change
+    the training stream."""
+    from jointpose.ops.warp_pallas import shear_warp_rowmajor
 
     imgs = _images(batch=3, h=24, w=36)
     cfg = AugmentConfig()
     p = random_augment_params(jax.random.PRNGKey(3), 3, cfg, imgs.shape[1:3])
     a_inv, b_inv = _inverse(p, imgs.shape[1:3])
-    ours = np.asarray(shear_warp_csub(imgs, a_inv, b_inv))
-    want = np.asarray(shear_warp(imgs, a_inv, b_inv))
+    ours = np.asarray(shear_warp(imgs, a_inv, b_inv))
+    want = np.asarray(shear_warp_rowmajor(imgs, a_inv, b_inv))
     np.testing.assert_allclose(ours, want, atol=2e-6)
 
 
