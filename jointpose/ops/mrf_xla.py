@@ -90,25 +90,92 @@ def _grouped_conv_f32_fwd(p, kern, groups, precision):
     return _grouped_conv_f32(p, kern, groups, precision), (p, kern)
 
 
+def _dp_s2d(g, kern, groups, precision, p_dtype):
+    """dL/dp as a width space-to-depth-x8 dense conv.
+
+    The straightforward dense transpose conv for dL/dp has only
+    Kv output channels — 9 of the MXU's 128 lanes at the flagship
+    geometry, measured 2.94 ms vs the forward's 0.58 ms for identical
+    FLOPs (results/kernels/mrf_bwd_variants.json; it was the single
+    largest op of the round-5 train dispatch, 29x its floor in
+    train_ceiling.json).  Packing S=8 width-shifted outputs into the
+    lane dimension gives S*Kv lanes at an ~S*ceil((ww-1)/S+1)/ww tap
+    overcharge (1.28x at ww=25): measured 0.48 ms — 6.1x faster.
+
+    Math: with x = S*Xo + ro and dx = S*q + r - ro,
+
+        dp[b, y, x, v] = sum_{dy,dx,c} kd_t[dy, dx, c, v]
+                                       * g_pad[b, y+dy, x+dx, c]
+      = conv_VALID(g2, k2)[b, y, Xo, ro*Kv + v]
+
+    where g2 packs width into lanes ([X, r*Cin + c]) and
+    k2[dy, q, r*Cin + c, ro*Kv + v] = kd_t[dy, S*q + r - ro, c, v]
+    (zero outside [0, ww)).  Exact for odd windows (SAME padding is
+    symmetric); callers fall back to the dense vjp otherwise.
+    """
+    wh, ww, _, vo = kern.shape
+    kv = groups
+    b, h, w, cin = g.shape
+    s = 8
+    ph, pw = wh // 2, ww // 2
+    kd = _dense_embed(kern, groups)  # (wh, ww, kv, kv*ka)
+    kd_t = jnp.flip(kd, axis=(0, 1)).transpose(0, 1, 3, 2)  # (wh,ww,cin,kv)
+    nq = (ww - 1 + s - 1) // s + 1
+    q = jnp.arange(nq)[:, None, None]
+    r = jnp.arange(s)[None, :, None]
+    ro = jnp.arange(s)[None, None, :]
+    dx = s * q + r - ro  # (nq, s, s)
+    valid = (dx >= 0) & (dx < ww)
+    kd_g = kd_t[:, jnp.clip(dx, 0, ww - 1)]  # (wh, nq, s, s, cin, kv)
+    kd_g = jnp.where(valid[None, ..., None, None], kd_g, 0)
+    k2 = kd_g.transpose(0, 1, 2, 4, 3, 5).reshape(wh, nq, s * cin, s * kv)
+    wblocks = -(-w // s)
+    wpad = s * (wblocks + nq - 1)
+    gp = jnp.pad(g, ((0, 0), (ph, ph), (pw, wpad - w - pw), (0, 0)))
+    g2 = gp.reshape(b, h + wh - 1, wpad // s, s * cin)
+    out = lax.conv_general_dilated(
+        g2.astype(p_dtype), k2.astype(p_dtype), (1, 1), "VALID",
+        dimension_numbers=_DIMNUMS, precision=precision,
+        preferred_element_type=jnp.float32,
+    )  # (b, h, wblocks, s*kv)
+    dp = out.reshape(b, h, wblocks * s, kv)[:, :, :w]
+    return dp.astype(p_dtype)
+
+
 def _grouped_conv_f32_bwd(groups, precision, res, g):
     p, kern = res
     wh, ww, _, vo = kern.shape
     ka = vo // groups
 
-    def dense(p_, kd_):
+    def dense_k(kd_):
         out = lax.conv_general_dilated(
-            p_, kd_, window_strides=(1, 1), padding="SAME",
+            p, kd_, window_strides=(1, 1), padding="SAME",
             dimension_numbers=_DIMNUMS, precision=precision,
         )
         return out.astype(jnp.float32)
 
-    _, vjp = jax.vjp(dense, p, _dense_embed(kern, groups))
-    dp, dkd = vjp(g)
-    # Keep only the v == v' diagonal of the dense-kernel cotangent (the
-    # off-diagonal entries are gradients w.r.t. the structural zeros).
+    # dL/dk: XLA's dense weight-grad transpose runs at the forward's
+    # MXU rate (0.43 ms/step at flagship geometry); keep only the
+    # v == v' diagonal of the dense-kernel cotangent (the off-diagonal
+    # entries are gradients w.r.t. the structural zeros).
+    _, vjp_k = jax.vjp(dense_k, _dense_embed(kern, groups))
+    (dkd,) = vjp_k(g)
     d5 = dkd.reshape(wh, ww, groups, groups, ka)
     # jnp.diagonal appends the diagonal axis last: (wh, ww, Ka, Kv).
     dk = jnp.diagonal(d5, axis1=2, axis2=3).transpose(0, 1, 3, 2)
+
+    # dL/dp: the s2d-packed conv where it applies (odd windows, few
+    # source joints — the lane-starved case); dense transpose otherwise.
+    if wh % 2 == 1 and ww % 2 == 1 and groups <= 32:
+        dp = _dp_s2d(g, kern, groups, precision, p.dtype)
+    else:
+        kd = _dense_embed(kern, groups)
+        kd_t = jnp.flip(kd, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dp = lax.conv_general_dilated(
+            g.astype(p.dtype), kd_t.astype(p.dtype), (1, 1), "SAME",
+            dimension_numbers=_DIMNUMS, precision=precision,
+            preferred_element_type=jnp.float32,
+        ).astype(p.dtype)
     return dp, dk.reshape(wh, ww, 1, vo).astype(kern.dtype)
 
 

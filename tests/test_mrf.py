@@ -227,7 +227,9 @@ def test_custom_grouped_conv_grads_match_autodiff():
     from jointpose.ops import mrf_xla as m
 
     rng = np.random.RandomState(7)
-    for kv, ka, wh, ww in ((3, 5, 7, 5), (4, 4, 5, 5)):
+    # (6, 6, 11, 15) exercises the round-5 s2d dL/dp path at nq > 2
+    # width blocks and a non-multiple-of-8 width.
+    for kv, ka, wh, ww in ((3, 5, 7, 5), (4, 4, 5, 5), (6, 6, 11, 15)):
         p = jnp.asarray(rng.rand(2, 10, 14, kv).astype(np.float32))
         kern = jnp.asarray(rng.rand(wh, ww, 1, kv * ka).astype(np.float32) * 0.1)
         gc = jax.grad(
