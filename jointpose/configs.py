@@ -373,9 +373,10 @@ def _preset_flagship() -> Config:
         # Pallas shear warp is the flagship training default since the
         # round-4 shear retrain hit full parity (0.9879 refine / 0.9899
         # TTA full-split, results/flagship_shear_r4/ vs gather's
-        # 0.984/0.990) — the advertised training throughput (677 img/s
-        # measured) and the advertised accuracy now describe the SAME
-        # configuration.
+        # 0.984/0.990) — the advertised training throughput (2,727
+        # img/s on the production materialized-uint8 stream,
+        # results/train_throughput/train_times.json) and the advertised
+        # accuracy now describe the SAME configuration.
         augment=AugmentConfig(enabled=True, warp_impl="shear"),
         eval_flip_tta=False,
         decode_refine=True,
